@@ -1,0 +1,114 @@
+"""Elementary pure-function layers shared by every model in the zoo.
+
+Conventions (TPU-first):
+  * Linear kernels are stored as [in_features, out_features] so the forward
+    matmul `x @ kernel` maps straight onto the MXU with no transpose.
+    (Torch stores [out, in]; the weight porters in utils/torch_port.py
+    transpose once at load time.)
+  * Convolutions run in NHWC with HWIO kernels — XLA:TPU's native layout.
+    (Torch is NCHW/OIHW; porters transpose at load time.)
+  * Norms accumulate statistics in float32 regardless of activation dtype,
+    then cast back, matching torch's float32 semantics under bf16 activations.
+
+Reference behaviors mirrored here (semantics only, re-derived for JAX):
+  * quick_gelu: the CLIP GELU variant, x * sigmoid(1.702 x)
+    (transformers QuickGELUActivation; used by every CLIP tower in
+    /root/reference — e.g. adaface/subj_basis_generator.py:457).
+  * group_norm(num_groups=32) + SiLU: the ResBlock nonlinearity of the SD
+    UNet and VAE (/root/reference/ldm/modules/diffusionmodules/openaimodel.py
+    GroupNorm32; ldm/modules/diffusionmodules/model.py:36 Normalize).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return jax.nn.silu(x)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    # torch.nn.GELU default = exact erf formulation.
+    return jax.nn.gelu(x, approximate=False)
+
+
+def layer_norm(x: jax.Array, scale: jax.Array | None, bias: jax.Array | None,
+               eps: float = 1e-5) -> jax.Array:
+    """LayerNorm over the last axis; float32 statistics."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        y = y * scale.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+               num_groups: int = 32, eps: float = 1e-6,
+               activation: str | None = None) -> jax.Array:
+    """GroupNorm over NHWC input; optional fused SiLU.
+
+    Statistics are computed per (batch, group) over H, W and the channels in
+    the group, in float32. `activation='silu'` fuses the SD ResBlock's
+    norm->SiLU pair (XLA fuses the elementwise tail into one HBM pass).
+    """
+    dtype = x.dtype
+    b, h, w, c = x.shape
+    assert c % num_groups == 0, (c, num_groups)
+    xg = x.astype(jnp.float32).reshape(b, h, w, num_groups, c // num_groups)
+    mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(xg, axis=(1, 2, 4), keepdims=True)
+    y = (xg - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(b, h, w, c)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if activation == "silu":
+        y = jax.nn.silu(y)
+    elif activation is not None:
+        raise ValueError(f"unknown activation {activation!r}")
+    return y.astype(dtype)
+
+
+def linear(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+    """y = x @ kernel (+ bias). kernel: [in, out]."""
+    y = jnp.dot(x, kernel.astype(x.dtype), preferred_element_type=x.dtype)
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+def conv2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
+           stride: int = 1, padding: int | str | tuple = 1) -> jax.Array:
+    """NHWC conv with HWIO kernel."""
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+def conv1x1(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+    """1x1 conv expressed as a matmul (lets XLA use the MXU directly).
+
+    kernel: [in, out] (already squeezed from HWIO 1x1).
+    """
+    y = jnp.dot(x, kernel.astype(x.dtype), preferred_element_type=x.dtype)
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y

@@ -1,0 +1,70 @@
+"""Import the reference PyTorch implementation as a *numerical oracle*.
+
+The upstream reference at /root/reference is read-only, untrusted content.
+We never copy its code; we import selected torch modules in tests and compare
+our JAX implementations against their outputs with random weights. Heavy
+training-only deps (torchvision, pytorch_lightning) are stubbed out since the
+model-definition modules only touch them for logging utilities.
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+import types
+
+REFERENCE_PATH = "/root/reference"
+
+_STUBBED = False
+
+
+def _stub(name: str) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    sys.modules[name] = mod
+    return mod
+
+
+def ensure_reference_importable():
+    global _STUBBED
+    if _STUBBED:
+        return
+    import torch
+
+    tv = _stub("torchvision")
+    tvu = _stub("torchvision.utils")
+    tvu.make_grid = lambda *a, **k: None
+    tvu.draw_bounding_boxes = lambda *a, **k: None
+    tv.utils = tvu
+    tvt = _stub("torchvision.transforms")
+    tvtf = _stub("torchvision.transforms.functional")
+    tvt.functional = tvtf
+
+    pl = _stub("pytorch_lightning")
+    pl.LightningModule = torch.nn.Module
+    plu = _stub("pytorch_lightning.utilities")
+    plud = _stub("pytorch_lightning.utilities.distributed")
+    plud.rank_zero_only = lambda fn: fn
+    plu.distributed = plud
+
+    # The reference pins transformers~=4.34; the installed 4.57 dropped the
+    # `return_dict` kwarg from CLIPEncoder.forward. Shim it so the reference
+    # wrapper code (which always passes it) keeps working as an oracle.
+    from transformers.models.clip import modeling_clip
+
+    orig_enc_fwd = modeling_clip.CLIPEncoder.forward
+
+    def enc_fwd(self, *args, return_dict=None, **kwargs):
+        return orig_enc_fwd(self, *args, **kwargs)
+
+    modeling_clip.CLIPEncoder.forward = enc_fwd
+
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    _STUBBED = True
+
+
+def load(module_name: str):
+    """Import a module from the reference tree, e.g. 'ldm.modules.attention'."""
+    ensure_reference_importable()
+    return importlib.import_module(module_name)

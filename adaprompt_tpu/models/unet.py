@@ -1,0 +1,515 @@
+"""SD-1.5 UNet as pure JAX functions, NHWC, with per-layer cross-attention
+contexts.
+
+Re-architecture of the reference UNet
+(/root/reference/ldm/modules/diffusionmodules/openaimodel.py UNetModel:417-1053,
+ResBlock:167-280, SpatialTransformer & friends in ldm/modules/attention.py).
+
+Structure (v1-finetune-ada.yaml:107-122): model_channels 320, channel_mult
+(1,2,4,4), 2 ResBlocks/level, spatial transformers at downsample factors
+{1,2,4}, 8 heads, context_dim 768, depth 1. 25 addressable layers
+(input 0-11, middle 12, output 13-24), 16 of which carry cross-attention.
+
+The reference feeds 16 *layerwise* contexts by tucking them into the batch
+dim ([16*B,77,768], embedding_manager.py:1341-1353) and fetching slices via a
+closure (openaimodel.py:869-920). Here the context is an explicit tensor:
+
+    context: [L, B, S, D] with L in {1, 16} — CA layer `ca_idx` reads
+    context[min(ca_idx, L-1)]. Separate K and V contexts (the reference's
+    'mix_hijk' V/K split, openaimodel.py:894-905) are the optional
+    `context_k` argument.
+
+Everything here is jit-traceable with static shapes: masks are dense
+tensors, activation capture is a static flag producing a pytree output,
+and gradient rematerialization is `jax.checkpoint` at block level (the
+reference's use_checkpoint).
+
+TPU notes: NHWC/HWIO layouts; 1x1 convs as MXU matmuls; fused
+GroupNorm-SiLU; flash attention for big self-attn via ops.attention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaprompt_tpu.ops.attention import dot_product_attention
+from adaprompt_tpu.ops.layers import conv2d, conv1x1, group_norm, layer_norm, linear
+
+# layer_idx -> cross-attention layer idx (openaimodel.py:730-731)
+LAYER_IDX2CA_IDX = {1: 0, 2: 1, 4: 2, 5: 3, 7: 4, 8: 5, 12: 6, 16: 7,
+                    17: 8, 18: 9, 19: 10, 20: 11, 21: 12, 22: 13, 23: 14, 24: 15}
+CA_LAYER_INDICES = tuple(LAYER_IDX2CA_IDX)
+# layers whose CA activations feed the distillation losses (openaimodel.py:937-941)
+DISTILL_LAYER_INDICES = (7, 8, 12, 16, 17, 18, 19, 20, 21, 22, 23, 24)
+NUM_CA_LAYERS = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    model_channels: int = 320
+    channel_mult: tuple = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attention_ds: tuple = (1, 2, 4)  # downsample factors with cross-attn
+    num_heads: int = 8
+    context_dim: int = 768
+    use_checkpoint: bool = True
+
+    @property
+    def time_embed_dim(self):
+        return self.model_channels * 4
+
+
+SD15_UNET_CONFIG = UNetConfig()
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int, max_period: int = 10000) -> jax.Array:
+    """Sinusoidal embeddings, cos-then-sin order
+    (ldm/modules/diffusionmodules/util.py:154-174)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+# ---------------------------------------------------------------------------
+# Plan: static description of the block sequence (drives init/port/forward)
+# ---------------------------------------------------------------------------
+
+def _build_plan(cfg: UNetConfig):
+    """Returns (input_plan, middle_plan, output_plan, skip_channels).
+
+    Each entry: dict(kind='conv'|'res'|'down'|'up', cin, cout, attn: bool).
+    Mirrors the constructor loop of openaimodel.py:526-704.
+    """
+    ch = cfg.model_channels
+    inp = [dict(kind="conv", cin=cfg.in_channels, cout=ch, attn=False)]
+    skips = [ch]
+    ds = 1
+    cur = ch
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            out = mult * cfg.model_channels
+            inp.append(dict(kind="res", cin=cur, cout=out, attn=ds in cfg.attention_ds))
+            cur = out
+            skips.append(cur)
+        if level != len(cfg.channel_mult) - 1:
+            inp.append(dict(kind="down", cin=cur, cout=cur, attn=False))
+            skips.append(cur)
+            ds *= 2
+
+    mid = dict(kind="mid", ch=cur, attn=True)
+
+    outp = []
+    for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+        for i in range(cfg.num_res_blocks + 1):
+            ich = skips.pop()
+            out = cfg.model_channels * mult
+            entry = dict(kind="res", cin=cur + ich, cout=out, attn=ds in cfg.attention_ds,
+                         up=(level and i == cfg.num_res_blocks))
+            cur = out
+            outp.append(entry)
+            if entry["up"]:
+                ds //= 2
+    return inp, mid, outp
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+def _conv_init(key, kh, kw, cin, cout, dtype, zero=False):
+    if zero:
+        return {"kernel": jnp.zeros((kh, kw, cin, cout), dtype),
+                "bias": jnp.zeros((cout,), dtype)}
+    bound = 1.0 / np.sqrt(kh * kw * cin)
+    k1, k2 = jax.random.split(key)
+    return {"kernel": jax.random.uniform(k1, (kh, kw, cin, cout), dtype, -bound, bound),
+            "bias": jax.random.uniform(k2, (cout,), dtype, -bound, bound)}
+
+
+def _lin_init(key, cin, cout, dtype, bias=True, zero=False):
+    if zero:
+        p = {"kernel": jnp.zeros((cin, cout), dtype)}
+    else:
+        bound = 1.0 / np.sqrt(cin)
+        key, k2 = jax.random.split(key)
+        p = {"kernel": jax.random.uniform(key, (cin, cout), dtype, -bound, bound)}
+    if bias:
+        p["bias"] = jnp.zeros((cout,), dtype) if zero else jax.random.uniform(k2, (cout,), dtype, -bound, bound)
+    return p
+
+
+def _gn_init(c, dtype):
+    return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+
+def _res_init(key, cin, cout, temb_dim, dtype):
+    ks = jax.random.split(key, 4)
+    p = {
+        "norm_in": _gn_init(cin, dtype),
+        "conv_in": _conv_init(ks[0], 3, 3, cin, cout, dtype),
+        "emb": _lin_init(ks[1], temb_dim, cout, dtype),
+        "norm_out": _gn_init(cout, dtype),
+        "conv_out": _conv_init(ks[2], 3, 3, cout, cout, dtype, zero=True),
+    }
+    if cin != cout:
+        p["skip"] = _conv_init(ks[3], 1, 1, cin, cout, dtype)
+    return p
+
+
+def _st_init(key, c, cfg: UNetConfig, dtype):
+    """SpatialTransformer params (attention.py:287-341)."""
+    ks = iter(jax.random.split(key, 16))
+    d = c  # inner_dim == channels (heads * (c // heads))
+    ctx = cfg.context_dim
+
+    def ca(context_dim):
+        return {
+            "to_q": _lin_init(next(ks), d, d, dtype, bias=False),
+            "to_k": _lin_init(next(ks), context_dim, d, dtype, bias=False),
+            "to_v": _lin_init(next(ks), context_dim, d, dtype, bias=False),
+            "to_out": _lin_init(next(ks), d, d, dtype),
+        }
+
+    def ln():
+        return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+    return {
+        "norm": _gn_init(c, dtype),
+        "proj_in": _conv_init(next(ks), 1, 1, c, d, dtype),
+        "block": {
+            "norm1": ln(), "attn1": ca(d),
+            "norm2": ln(), "attn2": ca(ctx),
+            "norm3": ln(),
+            "ff": {"proj": _lin_init(next(ks), d, d * 8, dtype),  # GEGLU: 2*4d
+                   "out": _lin_init(next(ks), d * 4, d, dtype)},
+        },
+        "proj_out": _conv_init(next(ks), 1, 1, d, c, dtype, zero=True),
+    }
+
+
+def init_params(key: jax.Array, cfg: UNetConfig = SD15_UNET_CONFIG, dtype=jnp.float32) -> dict:
+    inp, mid, outp = _build_plan(cfg)
+    keys = iter(jax.random.split(key, 128))
+    nk = lambda: next(keys)
+    te = cfg.time_embed_dim
+
+    def block_params(entry):
+        if entry["kind"] == "conv":
+            return {"conv": _conv_init(nk(), 3, 3, entry["cin"], entry["cout"], dtype)}
+        if entry["kind"] == "down":
+            return {"downsample": _conv_init(nk(), 3, 3, entry["cin"], entry["cout"], dtype)}
+        p = {"res": _res_init(nk(), entry["cin"], entry["cout"], te, dtype)}
+        if entry["attn"]:
+            p["attn"] = _st_init(nk(), entry["cout"], cfg, dtype)
+        if entry.get("up"):
+            p["upsample"] = _conv_init(nk(), 3, 3, entry["cout"], entry["cout"], dtype)
+        return p
+
+    return {
+        "time_embed": {"fc1": _lin_init(nk(), cfg.model_channels, te, dtype),
+                       "fc2": _lin_init(nk(), te, te, dtype)},
+        "input_blocks": [block_params(e) for e in inp],
+        "middle_block": {"res1": _res_init(nk(), mid["ch"], mid["ch"], te, dtype),
+                         "attn": _st_init(nk(), mid["ch"], cfg, dtype),
+                         "res2": _res_init(nk(), mid["ch"], mid["ch"], te, dtype)},
+        "output_blocks": [block_params(e) for e in outp],
+        "out": {"norm": _gn_init(cfg.model_channels, dtype),
+                "conv": _conv_init(nk(), 3, 3, cfg.model_channels, cfg.out_channels, dtype, zero=True)},
+    }
+
+
+# ---------------------------------------------------------------------------
+# Torch porting (openaimodel.py UNetModel state_dict, optionally under
+# 'model.diffusion_model.' as in SD checkpoints)
+# ---------------------------------------------------------------------------
+
+def from_torch(state_dict, cfg: UNetConfig = SD15_UNET_CONFIG, dtype=jnp.float32) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        k = k.removeprefix("model.diffusion_model.").removeprefix("diffusion_model.")
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        sd[k] = np.asarray(v)
+
+    def conv(p):
+        return {"kernel": jnp.asarray(sd[p + ".weight"].transpose(2, 3, 1, 0), dtype),
+                "bias": jnp.asarray(sd[p + ".bias"], dtype)}
+
+    def lin(p, bias=True):
+        out = {"kernel": jnp.asarray(sd[p + ".weight"].T, dtype)}
+        if bias:
+            out["bias"] = jnp.asarray(sd[p + ".bias"], dtype)
+        return out
+
+    def norm(p):
+        return {"scale": jnp.asarray(sd[p + ".weight"], dtype),
+                "bias": jnp.asarray(sd[p + ".bias"], dtype)}
+
+    def res(p):
+        out = {"norm_in": norm(p + ".in_layers.0"), "conv_in": conv(p + ".in_layers.2"),
+               "emb": lin(p + ".emb_layers.1"),
+               "norm_out": norm(p + ".out_layers.0"), "conv_out": conv(p + ".out_layers.3")}
+        if p + ".skip_connection.weight" in sd:
+            out["skip"] = conv(p + ".skip_connection")
+        return out
+
+    def st(p):
+        b = p + ".transformer_blocks.0"
+
+        def ca(q):
+            return {"to_q": lin(q + ".to_q", bias=False), "to_k": lin(q + ".to_k", bias=False),
+                    "to_v": lin(q + ".to_v", bias=False), "to_out": lin(q + ".to_out.0")}
+
+        return {
+            "norm": norm(p + ".norm"), "proj_in": conv(p + ".proj_in"),
+            "block": {"norm1": norm(b + ".norm1"), "attn1": ca(b + ".attn1"),
+                      "norm2": norm(b + ".norm2"), "attn2": ca(b + ".attn2"),
+                      "norm3": norm(b + ".norm3"),
+                      "ff": {"proj": lin(b + ".ff.net.0.proj"), "out": lin(b + ".ff.net.2")}},
+            "proj_out": conv(p + ".proj_out"),
+        }
+
+    inp_plan, mid_plan, out_plan = _build_plan(cfg)
+
+    input_blocks = []
+    for i, entry in enumerate(inp_plan):
+        p = f"input_blocks.{i}"
+        if entry["kind"] == "conv":
+            input_blocks.append({"conv": conv(p + ".0")})
+        elif entry["kind"] == "down":
+            input_blocks.append({"downsample": conv(p + ".0.op")})
+        else:
+            bp = {"res": res(p + ".0")}
+            if entry["attn"]:
+                bp["attn"] = st(p + ".1")
+            input_blocks.append(bp)
+
+    output_blocks = []
+    for i, entry in enumerate(out_plan):
+        p = f"output_blocks.{i}"
+        bp = {"res": res(p + ".0")}
+        nxt = 1
+        if entry["attn"]:
+            bp["attn"] = st(p + f".{nxt}")
+            nxt += 1
+        if entry.get("up"):
+            bp["upsample"] = conv(p + f".{nxt}.conv")
+        output_blocks.append(bp)
+
+    return {
+        "time_embed": {"fc1": lin("time_embed.0"), "fc2": lin("time_embed.2")},
+        "input_blocks": input_blocks,
+        "middle_block": {"res1": res("middle_block.0"), "attn": st("middle_block.1"),
+                         "res2": res("middle_block.2")},
+        "output_blocks": output_blocks,
+        "out": {"norm": norm("out.0"), "conv": conv("out.2")},
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _resblock(p: dict, x: jax.Array, emb: jax.Array) -> jax.Array:
+    # GroupNorm32 -> SiLU -> conv; +time; GroupNorm32 -> SiLU -> conv(zero)
+    # (openaimodel.py:205-280; GroupNorm default eps 1e-5)
+    h = group_norm(x, p["norm_in"]["scale"], p["norm_in"]["bias"], eps=1e-5, activation="silu")
+    h = conv2d(h, p["conv_in"]["kernel"], p["conv_in"]["bias"])
+    e = linear(jax.nn.silu(emb), p["emb"]["kernel"], p["emb"]["bias"])
+    h = h + e[:, None, None, :]
+    h = group_norm(h, p["norm_out"]["scale"], p["norm_out"]["bias"], eps=1e-5, activation="silu")
+    h = conv2d(h, p["conv_out"]["kernel"], p["conv_out"]["bias"])
+    if "skip" in p:
+        x = conv1x1(x, p["skip"]["kernel"][0, 0], p["skip"]["bias"])
+    return x + h
+
+
+def _cross_attention(p: dict, x: jax.Array, ctx_v: jax.Array, ctx_k: jax.Array,
+                     num_heads: int, self_mask: jax.Array | None = None,
+                     capture: bool = False):
+    """LDM CrossAttention (attention.py:147-257) with separate V/K contexts.
+
+    x: [B, N, C]; ctx_*: [B, S, Dctx]. self_mask: [B, N] key mask (1=keep)
+    applied only for self-attention (img_mask semantics).
+    Returns out [B, N, C] and, when capture, dict(q, attn, attnscore) in the
+    reference's cached_activations layout ([B, H, ...], q scaled by
+    sqrt(scale)).
+    """
+    b, n, c = x.shape
+    hd = c // num_heads
+    scale = hd ** -0.5
+    if ctx_v is None:  # self-attention
+        ctx_v = ctx_k = x
+    q = linear(x, p["to_q"]["kernel"]).reshape(b, n, num_heads, hd)
+    k = linear(ctx_k, p["to_k"]["kernel"]).reshape(b, -1, num_heads, hd)
+    v = linear(ctx_v, p["to_v"]["kernel"]).reshape(b, -1, num_heads, hd)
+
+    mask = None
+    if self_mask is not None:
+        neg = jnp.finfo(jnp.float32).max
+        mask = (1.0 - self_mask[:, None, None, :]) * (-neg)
+
+    if capture:
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            logits = logits + mask
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v).reshape(b, n, c)
+        out = linear(out, p["to_out"]["kernel"], p["to_out"]["bias"])
+        cached = {
+            "q": q.transpose(0, 2, 1, 3) * math.sqrt(scale),
+            "attn": probs,
+            "attnscore": logits,
+        }
+        return out, cached
+
+    out = dot_product_attention(q, k, v, mask=mask, scale=scale)
+    out = linear(out.reshape(b, n, c), p["to_out"]["kernel"], p["to_out"]["bias"])
+    return out, None
+
+
+def _geglu_ff(p: dict, x: jax.Array) -> jax.Array:
+    h = linear(x, p["proj"]["kernel"], p["proj"]["bias"])
+    a, gate = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.gelu(gate, approximate=False)
+    return linear(h, p["out"]["kernel"], p["out"]["bias"])
+
+
+def _spatial_transformer(p: dict, x: jax.Array, ctx_v, ctx_k, num_heads: int,
+                         img_mask=None, capture: bool = False):
+    b, h, w, c = x.shape
+    x_in = x
+    y = group_norm(x, p["norm"]["scale"], p["norm"]["bias"], eps=1e-6)
+    y = conv1x1(y, p["proj_in"]["kernel"][0, 0], p["proj_in"]["bias"])
+    y = y.reshape(b, h * w, c)
+
+    bp = p["block"]
+    self_mask = None
+    if img_mask is not None:
+        # img_mask [B, H0, W0, 1] -> nearest-resized key mask [B, h*w]
+        from adaprompt_tpu.models.vae import _resize_mask_nearest
+        self_mask = _resize_mask_nearest(img_mask, (h, w)).reshape(b, h * w)
+
+    a1, _ = _cross_attention(bp["attn1"], layer_norm(y, bp["norm1"]["scale"], bp["norm1"]["bias"]),
+                             None, None, num_heads, self_mask=self_mask)
+    y = y + a1
+    a2, cached = _cross_attention(bp["attn2"], layer_norm(y, bp["norm2"]["scale"], bp["norm2"]["bias"]),
+                                  ctx_v, ctx_k, num_heads, capture=capture)
+    y = y + a2
+    y = y + _geglu_ff(bp["ff"], layer_norm(y, bp["norm3"]["scale"], bp["norm3"]["bias"]))
+
+    y = y.reshape(b, h, w, c)
+    y = conv1x1(y, p["proj_out"]["kernel"][0, 0], p["proj_out"]["bias"])
+    return x_in + y, cached
+
+
+def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array,
+            *, context_k: jax.Array | None = None,
+            img_mask: jax.Array | None = None,
+            capture_ca: bool = False,
+            cfg: UNetConfig = SD15_UNET_CONFIG):
+    """Predict epsilon.
+
+    Args:
+      x: [B, H, W, 4] noisy latents (NHWC).
+      timesteps: [B] int/float timesteps.
+      context: [L, B, S, 768] layerwise contexts (L=1 shared or L=16), or
+        [B, S, 768] (auto-promoted to L=1).
+      context_k: optional separate K-context of the same shape (V/K split of
+        'mix_hijk' iters); defaults to `context`.
+      img_mask: optional [B, H0, W0, 1] foreground mask restricting
+        self-attention keys (openaimodel img_mask -> attention.py:223-232).
+      capture_ca: capture per-CA-layer activations {outfeat, attn, attnscore,
+        q} for the distill layers (openaimodel.py:947-952, 984-1034).
+
+    Returns eps [B, H, W, 4] or (eps, ca_activations dict keyed
+    'q'/'attn'/'attnscore'/'outfeat' -> {layer_idx: array}).
+    """
+    if context.ndim == 3:
+        context = context[None]
+    if context_k is None:
+        context_k = context
+    elif context_k.ndim == 3:
+        context_k = context_k[None]
+    L = context.shape[0]
+
+    t_emb = timestep_embedding(timesteps, cfg.model_channels).astype(x.dtype)
+    emb = linear(t_emb, params["time_embed"]["fc1"]["kernel"], params["time_embed"]["fc1"]["bias"])
+    emb = jax.nn.silu(emb)
+    emb = linear(emb, params["time_embed"]["fc2"]["kernel"], params["time_embed"]["fc2"]["bias"])
+
+    inp_plan, mid_plan, out_plan = _build_plan(cfg)
+    captures = {}
+
+    def ctx_for(layer_idx):
+        ca = LAYER_IDX2CA_IDX.get(layer_idx)
+        if ca is None:
+            return None, None
+        i = min(ca, L - 1)
+        return context[i], context_k[i]
+
+    def run_block(bp, entry, h, layer_idx):
+        if "conv" in bp:
+            return conv2d(h, bp["conv"]["kernel"], bp["conv"]["bias"])
+        if "downsample" in bp:
+            return conv2d(h, bp["downsample"]["kernel"], bp["downsample"]["bias"],
+                          stride=2, padding=1)
+        h = _resblock(bp["res"], h, emb)
+        if "attn" in bp:
+            cv, ck = ctx_for(layer_idx)
+            cap = capture_ca and layer_idx in DISTILL_LAYER_INDICES
+            h, cached = _spatial_transformer(bp["attn"], h, cv, ck, cfg.num_heads,
+                                             img_mask=img_mask, capture=cap)
+            if cap:
+                cached["outfeat"] = h
+                captures[layer_idx] = cached
+        if "upsample" in bp:
+            h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+            h = conv2d(h, bp["upsample"]["kernel"], bp["upsample"]["bias"])
+        return h
+
+    hs = []
+    h = x
+    layer_idx = 0
+    for bp, entry in zip(params["input_blocks"], inp_plan):
+        h = run_block(bp, entry, h, layer_idx)
+        hs.append(h)
+        layer_idx += 1
+
+    mb = params["middle_block"]
+    h = _resblock(mb["res1"], h, emb)
+    cv, ck = ctx_for(layer_idx)
+    cap = capture_ca and layer_idx in DISTILL_LAYER_INDICES
+    h, cached = _spatial_transformer(mb["attn"], h, cv, ck, cfg.num_heads,
+                                     img_mask=img_mask, capture=cap)
+    h = _resblock(mb["res2"], h, emb)
+    if cap:
+        cached["outfeat"] = h
+        captures[layer_idx] = cached
+    layer_idx += 1
+
+    for bp, entry in zip(params["output_blocks"], out_plan):
+        h = jnp.concatenate([h, hs.pop()], axis=-1)
+        h = run_block(bp, entry, h, layer_idx)
+        layer_idx += 1
+
+    h = group_norm(h, params["out"]["norm"]["scale"], params["out"]["norm"]["bias"],
+                   eps=1e-5, activation="silu")
+    eps = conv2d(h, params["out"]["conv"]["kernel"], params["out"]["conv"]["bias"])
+
+    if capture_ca:
+        by_key = {key: {li: captures[li][key] for li in captures}
+                  for key in ("outfeat", "attn", "attnscore", "q")}
+        return eps, by_key
+    return eps

@@ -47,6 +47,19 @@ def ensure_reference_importable():
     plud.rank_zero_only = lambda fn: fn
     plu.distributed = plud
 
+    try:
+        import omegaconf  # noqa: F401
+    except ImportError:
+        oc = _stub("omegaconf")
+        oclc = _stub("omegaconf.listconfig")
+
+        class ListConfig(list):
+            pass
+
+        oclc.ListConfig = ListConfig
+        oc.listconfig = oclc
+        oc.ListConfig = ListConfig
+
     # The reference pins transformers~=4.34; the installed 4.57 dropped the
     # `return_dict` kwarg from CLIPEncoder.forward. Shim it so the reference
     # wrapper code (which always passes it) keeps working as an oracle.

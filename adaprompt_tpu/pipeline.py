@@ -1,0 +1,193 @@
+"""StableDiffusionPipeline — the TPU-native txt2img / img2img engine.
+
+The minimum end-to-end slice of the framework (SURVEY.md §7 step 3): CLIP
+text encoding (with clip-skip and optional subject-embedding splicing),
+the DDIM denoise loop as one `lax.scan`, and the VAE decoder, all inside a
+single jitted graph per (batch, steps, size) signature.
+
+Functional equivalent of the reference research inference path
+(/root/reference/scripts/stable_txt2img.py:324-876) and of the diffusers
+product path (/root/reference/adaface/adaface_wrapper.py:104-296), with the
+defaults of both: DDIM-50, 512x512, CFG annealed 4->1, fixed negative prompt.
+
+TPU-first: bf16 activations / fp32 params; NHWC; denoise-to-decode is one
+XLA program (zero host sync inside the loop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaprompt_tpu.models import clip_text, unet as unet_mod, vae as vae_mod
+from adaprompt_tpu.sampling import ddim
+from adaprompt_tpu.sampling.schedule import SD15_SCHEDULE, DiffusionSchedule
+from adaprompt_tpu.utils import torch_port
+from adaprompt_tpu.utils.tokenizer import CLIPTokenizer
+
+# PuLID-style default negative prompt (adaface_wrapper.py:41-47)
+DEFAULT_NEGATIVE_PROMPT = (
+    "flaws in the eyes, flaws in the face, lowres, non-HDRi, low quality, "
+    "worst quality, artifacts, noise, text, watermark, glitch, mutated, ugly, "
+    "disfigured, hands, partially rendered objects, partially rendered eyes, "
+    "deformed eyeballs, cross-eyed, blurry, mutation, duplicate, out of frame, "
+    "cropped, mutilated, bad anatomy, deformed, bad proportions, nude, naked, "
+    "nsfw, topless, bare breasts"
+)
+
+
+@dataclasses.dataclass
+class SDParams:
+    unet: dict
+    vae: dict
+    text: dict
+
+
+class StableDiffusionPipeline:
+    """Stateless-compute pipeline: all state is the param pytree; every
+    generate() signature compiles once and is cached by jit."""
+
+    def __init__(self, params: SDParams, tokenizer: CLIPTokenizer | None = None,
+                 unet_cfg: unet_mod.UNetConfig = unet_mod.SD15_UNET_CONFIG,
+                 vae_cfg: vae_mod.VAEConfig = vae_mod.SD15_VAE_CONFIG,
+                 text_cfg: clip_text.CLIPTextConfig = clip_text.SD15_TEXT_CONFIG,
+                 sched: DiffusionSchedule = SD15_SCHEDULE,
+                 compute_dtype=jnp.bfloat16):
+        self.params = params
+        self.tokenizer = tokenizer or CLIPTokenizer.load()
+        self.unet_cfg = unet_cfg
+        self.vae_cfg = vae_cfg
+        self.text_cfg = text_cfg
+        self.sched = sched
+        self.compute_dtype = compute_dtype
+
+    # -- constructors ---------------------------------------------------------
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw) -> "StableDiffusionPipeline":
+        """Load a full SD-1.5 checkpoint (.ckpt or .safetensors)."""
+        sd = torch_port.load_state_dict(path)
+        parts = torch_port.split_sd_checkpoint(sd)
+        params = SDParams(
+            unet=unet_mod.from_torch(parts["unet"]),
+            vae=vae_mod.from_torch(parts["vae"]),
+            text=clip_text.from_torch(parts["text"]),
+        )
+        return cls(params, **kw)
+
+    @classmethod
+    def random_init(cls, key: jax.Array | int = 0, **kw) -> "StableDiffusionPipeline":
+        """Random weights at full SD-1.5 size — for benchmarking/compile tests
+        in environments without checkpoint assets."""
+        if isinstance(key, int):
+            key = jax.random.PRNGKey(key)
+        k1, k2, k3 = jax.random.split(key, 3)
+        ucfg = kw.pop("unet_cfg", unet_mod.SD15_UNET_CONFIG)
+        vcfg = kw.pop("vae_cfg", vae_mod.SD15_VAE_CONFIG)
+        tcfg = kw.pop("text_cfg", clip_text.SD15_TEXT_CONFIG)
+        params = SDParams(unet=unet_mod.init_params(k1, ucfg),
+                          vae=vae_mod.init_params(k2, vcfg),
+                          text=clip_text.init_params(k3, tcfg))
+        return cls(params, unet_cfg=ucfg, vae_cfg=vcfg, text_cfg=tcfg, **kw)
+
+    # -- text encoding ---------------------------------------------------------
+
+    def tokenize(self, prompts) -> np.ndarray:
+        return self.tokenizer(prompts, max_length=self.text_cfg.max_positions)
+
+    def encode_prompt(self, prompts, skip_weights=(1.0, 1.0),
+                      inputs_embeds: jax.Array | None = None) -> jax.Array:
+        """Prompts -> [B, 77, 768] conditioning. skip_weights = clip-skip
+        weights over the last N hidden states (inference default [1,1],
+        stable_txt2img.py:395)."""
+        ids = jnp.asarray(self.tokenize(prompts))
+        return _encode_ids(self.params.text, ids,
+                           jnp.asarray(np.asarray(skip_weights, np.float32)),
+                           inputs_embeds, self.text_cfg)
+
+    # -- generation -------------------------------------------------------------
+
+    def generate(self, prompts, *, negative_prompt: str | None = None,
+                 num_steps: int = 50, guidance_scale=(4.0, 1.0),
+                 height: int = 512, width: int = 512,
+                 seed: int = 0, skip_weights=(1.0, 1.0),
+                 context: jax.Array | None = None,
+                 context_uncond: jax.Array | None = None,
+                 return_latents: bool = False) -> np.ndarray:
+        """Text to images.
+
+        Either `prompts` (list of strings) or precomputed `context`
+        ([L, B, 77, 768] layerwise or [B, 77, 768]) may be given. Returns
+        uint8 images [B, H, W, 3].
+        """
+        if context is None:
+            cond = self.encode_prompt(prompts, skip_weights)[None]  # [1,B,77,768]
+        else:
+            cond = context if context.ndim == 4 else context[None]
+        b = cond.shape[1]
+        if context_uncond is None:
+            neg = negative_prompt if negative_prompt is not None else DEFAULT_NEGATIVE_PROMPT
+            uncond = self.encode_prompt([neg] * b, skip_weights)[None]
+        else:
+            uncond = context_uncond if context_uncond.ndim == 4 else context_uncond[None]
+        if uncond.shape[0] != cond.shape[0]:
+            uncond = jnp.broadcast_to(uncond, cond.shape)
+
+        key = jax.random.PRNGKey(seed)
+        x_T = jax.random.normal(key, (b, height // 8, width // 8, 4), jnp.float32)
+        out = _generate_jit(self.params.unet, self.params.vae, cond, uncond, x_T,
+                            num_steps, _as_pair(guidance_scale), return_latents,
+                            self.unet_cfg, self.vae_cfg, self.sched,
+                            self.compute_dtype)
+        return np.asarray(out)
+
+    def decode_latents(self, z: jax.Array) -> np.ndarray:
+        img = vae_mod.decode(self.params.vae, (jnp.asarray(z) / 0.18215).astype(self.compute_dtype),
+                             cfg=self.vae_cfg)
+        img = (img.astype(jnp.float32) + 1.0) * 127.5
+        return np.asarray(jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8))
+
+    def encode_image(self, images: jax.Array, key: jax.Array | None = None) -> jax.Array:
+        """[-1,1] float images [B,H,W,3] -> scaled latents (mode when key is
+        None, sample otherwise)."""
+        mean, logvar = vae_mod.encode(self.params.vae,
+                                      jnp.asarray(images, self.compute_dtype),
+                                      cfg=self.vae_cfg)
+        z = mean if key is None else vae_mod.sample_latent(key, mean, logvar)
+        return z.astype(jnp.float32) * 0.18215
+
+
+def _as_pair(g):
+    if isinstance(g, (tuple, list)):
+        return (float(g[0]), float(g[1]))
+    return (float(g), min(2.0, float(g)))
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _encode_ids(text_params, ids, skip_weights, inputs_embeds, text_cfg):
+    return clip_text.encode(text_params, ids, cfg=text_cfg,
+                            inputs_embeds=inputs_embeds,
+                            hidden_state_layer_weights=skip_weights)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _generate_jit(unet_params, vae_params, cond, uncond, x_T,
+                  num_steps, guidance, return_latents, unet_cfg, vae_cfg,
+                  sched, dt):
+    ctx = jnp.concatenate([cond, uncond], axis=1).astype(dt)  # [L, 2B, 77, D]
+
+    def model_fn(x, t):
+        return unet_mod.forward(unet_params, x.astype(dt), t,
+                                ctx, cfg=unet_cfg).astype(jnp.float32)
+
+    z = ddim.ddim_sample(model_fn, x_T, num_steps=num_steps,
+                         guidance_scale=guidance, sched=sched)
+    if return_latents:
+        return z
+    img = vae_mod.decode(vae_params, (z / 0.18215).astype(dt), cfg=vae_cfg)
+    img = (img.astype(jnp.float32) + 1.0) * 127.5
+    return jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)

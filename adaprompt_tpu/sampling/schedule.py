@@ -25,7 +25,7 @@ def make_betas(num_timesteps: int = 1000, linear_start: float = 0.00085,
                        dtype=np.float64) ** 2
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)  # eq=False: identity hash, usable as a static jit arg
 class DiffusionSchedule:
     betas: np.ndarray
     alphas_cumprod: np.ndarray

@@ -46,6 +46,10 @@ class SDParams:
     vae: dict
     text: dict
 
+    def astype(self, dtype) -> "SDParams":
+        cast = lambda tree: jax.tree.map(lambda x: x.astype(dtype), tree)
+        return SDParams(cast(self.unet), cast(self.vae), cast(self.text))
+
 
 class StableDiffusionPipeline:
     """Stateless-compute pipeline: all state is the param pytree; every
@@ -56,7 +60,10 @@ class StableDiffusionPipeline:
                  vae_cfg: vae_mod.VAEConfig = vae_mod.SD15_VAE_CONFIG,
                  text_cfg: clip_text.CLIPTextConfig = clip_text.SD15_TEXT_CONFIG,
                  sched: DiffusionSchedule = SD15_SCHEDULE,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16,
+                 param_dtype=None):
+        if param_dtype is not None:
+            params = params.astype(param_dtype)
         self.params = params
         self.tokenizer = tokenizer or CLIPTokenizer.load()
         self.unet_cfg = unet_cfg

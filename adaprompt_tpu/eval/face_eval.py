@@ -1,0 +1,119 @@
+"""ArcFace identity-similarity evaluation.
+
+Equivalent of /root/reference/evaluation/eval_utils.py:
+  * calc_faces_mean_similarity (223-266): mean cosine similarity over all
+    (src image, dst image) pairs, skipping images with no detected face;
+  * compare_face_folders_fast (268-335): folder-vs-folder identity score.
+
+Face detection is a pluggable host-side callable (the reference uses
+insightface/retinaface on CPU); recognition runs on-device via
+models/arcface. A center-crop fallback detector is provided for
+detector-free environments.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+
+IMG_EXTENSIONS = ("jpg", "jpeg", "png", "bmp")
+
+
+def list_images(path: str, num_samples: int = -1):
+    if os.path.isfile(path):
+        return [path]
+    paths = []
+    for ext in IMG_EXTENSIONS:
+        paths += glob.glob(os.path.join(path, "*" + ext))
+        paths += glob.glob(os.path.join(path, "*" + ext.upper()))
+    paths = sorted(set(paths))
+    if num_samples > 0:
+        paths = paths[-num_samples:]
+    return paths
+
+
+def center_crop_detector(image_np: np.ndarray, size: int = 112) -> list[np.ndarray]:
+    """Fallback 'detector': center square crop resized to 112 (for
+    environments without a face detector; fine for already-cropped folders)."""
+    h, w = image_np.shape[:2]
+    s = min(h, w)
+    y0, x0 = (h - s) // 2, (w - s) // 2
+    crop = image_np[y0:y0 + s, x0:x0 + s]
+    # nearest resize via index sampling (no cv2 dependency)
+    idx = (np.arange(size) * (s / size)).astype(np.int64)
+    return [crop[idx][:, idx]]
+
+
+class FaceSimilarityEvaluator:
+    """Embeds face crops with the on-device ArcFace trunk."""
+
+    def __init__(self, arcface_params, arcface_cfg=None, detector=None,
+                 batch_size: int = 16):
+        from adaprompt_tpu.models import arcface as af
+        self._af = af
+        self.params = arcface_params
+        self.cfg = arcface_cfg or af.IRESNET100
+        self.detector = detector or center_crop_detector
+        self.batch_size = batch_size
+
+    def embed_image(self, image_np: np.ndarray) -> np.ndarray:
+        """-> [num_faces, 512] L2-normalized (possibly empty)."""
+        crops = self.detector(image_np)
+        if not crops:
+            return np.zeros((0, 512), np.float32)
+        x = self._af.preprocess(np.stack(crops))
+        emb = np.asarray(self._af.forward(self.params, jnp.asarray(x), self.cfg))
+        return emb / np.linalg.norm(emb, axis=-1, keepdims=True)
+
+    def embed_folder(self, paths) -> list[np.ndarray]:
+        from PIL import Image
+        out = []
+        for p in paths:
+            img = np.asarray(Image.open(p).convert("RGB"))
+            out.append(self.embed_image(img))
+        return out
+
+    def __call__(self, images_np=None, image_paths=None) -> np.ndarray | None:
+        """FaceEmbedder protocol for AdaFacePipeline: mean-able embeddings
+        [N, 512] over the given photos (one face per photo max)."""
+        if image_paths is not None:
+            embs = self.embed_folder(image_paths)
+        else:
+            embs = [self.embed_image(im) for im in images_np]
+        embs = [e[0] for e in embs if len(e)]
+        return np.stack(embs) if embs else None
+
+
+def calc_faces_mean_similarity(src_list_embeds, dst_list_embeds):
+    """Mean over all cross-folder image pairs of the max face-pair cosine
+    (eval_utils.py:223-266). Returns (avg_sim, src_no_face, dst_no_face)."""
+    src_no_face = sum(1 for e in src_list_embeds if len(e) == 0)
+    dst_no_face = sum(1 for e in dst_list_embeds if len(e) == 0)
+    sims = []
+    for se in src_list_embeds:
+        if len(se) == 0:
+            continue
+        for de in dst_list_embeds:
+            if len(de) == 0:
+                continue
+            m = se @ de.T  # embeddings already normalized
+            sims.append(float(m.max()))
+    avg = float(np.mean(sims)) if sims else 0.0
+    return avg, src_no_face, dst_no_face
+
+
+def compare_face_folders(evaluator: FaceSimilarityEvaluator, src_path: str,
+                         dst_path: str, src_num_samples: int = -1,
+                         dst_num_samples: int = -1):
+    """compare_face_folders_fast equivalent. Returns
+    (avg_similarity, dst_normal_count, dst_no_face_count)."""
+    src_paths = list_images(src_path, src_num_samples)
+    dst_paths = list_images(dst_path, dst_num_samples)
+    src_embeds = evaluator.embed_folder(src_paths)
+    dst_embeds = evaluator.embed_folder(dst_paths)
+    avg, _, dst_no_face = calc_faces_mean_similarity(src_embeds, dst_embeds)
+    return avg, len(dst_paths) - dst_no_face, dst_no_face

@@ -452,8 +452,23 @@ def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array
     inp_plan, mid_plan, out_plan = _build_plan(cfg)
     captures = {}
 
+    # layer_idx -> CA idx derived from the plan (attention layers numbered in
+    # order); reproduces LAYER_IDX2CA_IDX exactly for the SD-1.5 plan.
+    l2ca = {}
+    li = 0
+    for e in inp_plan:
+        if e.get("attn"):
+            l2ca[li] = len(l2ca)
+        li += 1
+    l2ca[li] = len(l2ca)  # middle block
+    li += 1
+    for e in out_plan:
+        if e.get("attn"):
+            l2ca[li] = len(l2ca)
+        li += 1
+
     def ctx_for(layer_idx):
-        ca = LAYER_IDX2CA_IDX.get(layer_idx)
+        ca = l2ca.get(layer_idx)
         if ca is None:
             return None, None
         i = min(ca, L - 1)

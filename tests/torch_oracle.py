@@ -47,6 +47,24 @@ def ensure_reference_importable():
     plud.rank_zero_only = lambda fn: fn
     plu.distributed = plud
 
+    taming = _stub("taming")
+    tm = _stub("taming.modules")
+    tmv = _stub("taming.modules.vqvae")
+    tmq = _stub("taming.modules.vqvae.quantize")
+    tmq.VectorQuantizer2 = type("VectorQuantizer2", (), {})
+    taming.modules = tm
+    tm.vqvae = tmv
+    tmv.quantize = tmq
+
+    clip_stub = _stub("clip")
+    clip_stub.load = lambda *a, **k: (None, None)
+    clip_stub.tokenize = lambda *a, **k: None
+
+    insf = _stub("insightface")
+    insf_app = _stub("insightface.app")
+    insf_app.FaceAnalysis = type("FaceAnalysis", (), {})
+    insf.app = insf_app
+
     try:
         import omegaconf  # noqa: F401
     except ImportError:

@@ -147,9 +147,10 @@ def convert_attn_to_spatial_weight(flat_attn, bs: int, out_hw, reversed: bool = 
     h, w = out_hw
     scale = np.sqrt(n / (h * w))
     h2, w2 = int(h * scale), int(w * scale)
+    from adaprompt_tpu.train.fgbg import bilinear_resize_torch
     sa = flat_attn.reshape(bs, -1, flat_attn.shape[-2], n)
     sa = sa.mean(axis=2).sum(axis=1).reshape(bs, h2, w2, 1)
-    sa = jax.image.resize(sa, (bs, h, w, 1), method="bilinear")
+    sa = bilinear_resize_torch(sa, (h, w))
     mean = sa.mean(axis=(1, 2), keepdims=True)
     std = sa.std(axis=(1, 2), keepdims=True)
     denom = jnp.maximum(std + 0.001, mean / 2)

@@ -230,7 +230,11 @@ def calc_prompt_mix_loss(ca_outfeats: dict, ca_attnscores: dict, subj_pos,
         sw4 = jnp.tile(sw, (4, 1, 1, 1))
         of = outfeat * sw4
 
-        kernel, stride = FEAT_SIZE2POOLER_SPEC[min(h, 64)]
+        if h in FEAT_SIZE2POOLER_SPEC:
+            kernel, stride = FEAT_SIZE2POOLER_SPEC[h]
+        else:
+            # non-SD feature sizes (tiny test configs): proportional pooling
+            kernel, stride = max(2, h // 4), max(1, h // 8)
         pooled = _avg_pool(of, kernel, stride)
         flat = pooled.reshape(pooled.shape[0], -1)
         ss_f, sc_f, ms_f, mc_f = jnp.split(flat, 4, axis=0)

@@ -76,28 +76,52 @@ def find_placeholder_indices(token_ids: np.ndarray, spec: PlaceholderSpec):
 
 
 def splice_subject_embeddings(token_embs: jax.Array, subj_embs: jax.Array,
-                              batch_idx: np.ndarray, positions: np.ndarray,
+                              batch_idx, positions,
                               num_vectors: int) -> jax.Array:
     """Write K subject vectors into per-layer token embeddings.
 
     token_embs: [L, B, S, D] (L=16 layerwise or 1)
     subj_embs:  [M, L', K, D] with L' in {1, L}; row m targets prompt
                 batch_idx[m] at positions[m]..positions[m]+K-1.
+    batch_idx/positions may be traced arrays (dynamic per batch — no
+    recompilation) as long as M is fixed.
     """
     L = token_embs.shape[0]
-    m = len(batch_idx)
+    batch_idx = jnp.asarray(batch_idx)
+    positions = jnp.asarray(positions)
+    m = batch_idx.shape[0]
     if m == 0:
         return token_embs
     if subj_embs.shape[1] != L:
         subj_embs = jnp.broadcast_to(subj_embs,
                                      (m, L) + subj_embs.shape[2:])
-    k_off = np.arange(num_vectors)
+    k_off = jnp.arange(num_vectors)
     # scatter indices: [L, M, K]
-    li = np.broadcast_to(np.arange(L)[:, None, None], (L, m, num_vectors))
-    bi = np.broadcast_to(batch_idx[None, :, None], (L, m, num_vectors))
-    pi = np.broadcast_to(positions[None, :, None] + k_off[None, None], (L, m, num_vectors))
+    li = jnp.broadcast_to(jnp.arange(L)[:, None, None], (L, m, num_vectors))
+    bi = jnp.broadcast_to(batch_idx[None, :, None], (L, m, num_vectors))
+    pi = jnp.broadcast_to(positions[None, :, None] + k_off[None, None], (L, m, num_vectors))
     vals = subj_embs[:, :, :num_vectors].transpose(1, 0, 2, 3)  # [L, M, K, D]
     return token_embs.at[li, bi, pi].set(vals.astype(token_embs.dtype))
+
+
+def encode_spliced(text_params: dict, ids: jax.Array, subj_splices: list,
+                   skip_weights: jax.Array, num_ca_layers: int,
+                   text_cfg: clip_text.CLIPTextConfig,
+                   layerwise: bool = False) -> jax.Array:
+    """Pure jittable path of PromptConditioner: token-embed `ids` [B, S],
+    apply each (subj_embs [M,L',K,D], batch_idx [M], positions [M], K)
+    splice, CLIP-encode with clip-skip -> [L, B, S, D]."""
+    b = ids.shape[0]
+    L = num_ca_layers if (layerwise or any(s[0].shape[1] > 1 for s in subj_splices)) else 1
+    token_embs = clip_text.token_embed(text_params, ids)
+    token_embs = jnp.broadcast_to(token_embs[None], (L,) + token_embs.shape)
+    for subj_embs, bi, pos, k in subj_splices:
+        token_embs = splice_subject_embeddings(token_embs, subj_embs, bi, pos, k)
+    lb = token_embs.reshape(L * b, *token_embs.shape[2:])
+    ids_rep = jnp.tile(ids, (L, 1))
+    enc = clip_text.encode(text_params, ids_rep, cfg=text_cfg,
+                           inputs_embeds=lb, hidden_state_layer_weights=skip_weights)
+    return enc.reshape(L, b, *enc.shape[1:])
 
 
 def add_noise_to_embedding(embs: jax.Array, key: jax.Array, noise_std_range,

@@ -1,0 +1,276 @@
+"""Training orchestration — the host-side iteration state machine.
+
+Plays the role of main.py + pytorch-lightning + DDPM.training_step in the
+reference (ddpm.py:484-638): per step the host picks the iteration type
+
+    every `composition_regs_iter_gap` steps -> compositional distill iter
+    else normal recon; with prob `arc2face_distill_iter_prob` -> Arc2Face
+    distill iter   (v1-finetune-ada.yaml:32-35)
+
+and invokes the matching compiled step function. Gradient accumulation is
+optax.MultiSteps (the reference's manual_accumulate_grad_batches,
+ddpm.py:606-633), gradient clipping optax.clip_by_global_norm(0.5)
+(grad_clip, yaml:60), the optimizer Prodigy with the warmup+linear-decay
+schedule, all inside the jitted steps.
+
+Metrics stream to a jsonl file (the reference's loss_dict/wandb role);
+checkpoints are native npz snapshots of the trainable pytree (the
+embeddings_gs-*.pt role).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from adaprompt_tpu.adaface import arc2face as a2f
+from adaprompt_tpu.adaface import checkpoint as ckpt_mod
+from adaprompt_tpu.adaface import conditioner as cond_mod
+from adaprompt_tpu.adaface import subj_basis_generator as sbg
+from adaprompt_tpu.models import clip_text, unet as unet_mod, vae as vae_mod
+from adaprompt_tpu.sampling.schedule import SD15_SCHEDULE, q_sample
+from adaprompt_tpu.train import steps as steps_mod
+from adaprompt_tpu.train.losses import calc_recon_loss
+from adaprompt_tpu.train.lr_schedules import prodigy_lr_schedule
+from adaprompt_tpu.train.prodigy import prodigy
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    max_steps: int = 120_000
+    grad_accum: int = 2                      # manual_accumulate_grad_batches
+    grad_clip: float = 0.5
+    optimizer_type: str = "Prodigy"          # Prodigy | AdamW
+    d_coef: float = 2.0
+    prodigy_betas: tuple = (0.9, 0.999)      # zs_betas (yaml:76)
+    warm_up_steps: int = 500
+    scheduler_cycles: int = 1
+    base_lr: float = 8e-4                    # AdamW path only
+    composition_regs_iter_gap: int = 3
+    arc2face_distill_iter_prob: float = 0.1
+    num_denoising_steps_range: tuple = (1, 3, 5, 7)
+    skip_weights: tuple = (0.5, 0.5)         # training clip-skip base weights
+    randomize_clip_skip: bool = True         # Dirichlet-sampled per iter
+    seed: int = 0
+    ckpt_every: int = 500
+    out_dir: str = "runs/adaprompt"
+    compute_dtype: str = "bfloat16"
+
+
+def build_optimizer(cfg: TrainerConfig):
+    if cfg.optimizer_type == "Prodigy":
+        sched = prodigy_lr_schedule(cfg.max_steps, cfg.warm_up_steps,
+                                    cfg.scheduler_cycles)
+        tx = prodigy(lr=sched, betas=cfg.prodigy_betas, d_coef=cfg.d_coef,
+                     use_bias_correction=True,
+                     safeguard_warmup=cfg.scheduler_cycles > 1)
+    elif cfg.optimizer_type == "AdamW":
+        from adaprompt_tpu.train.lr_schedules import lambda_warmup_cosine_schedule
+        sched = lambda_warmup_cosine_schedule(500, 0.01, 1.0, 0.1, cfg.max_steps)
+        tx = optax.adamw(lambda step: cfg.base_lr * sched(step),
+                         b1=0.9, b2=0.993)
+    else:
+        raise ValueError(cfg.optimizer_type)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    if cfg.grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
+    return tx
+
+
+def make_zs_recon_step(optimizer, frozen: steps_mod.FrozenSD, tokenizer,
+                       subj_basis_cfg, *, num_ca_layers: int = 16,
+                       sched=SD15_SCHEDULE, compute_dtype=jnp.bfloat16):
+    """Zero-shot reconstruction iter: the trainable SubjBasisGenerator
+    produces the subject embeddings spliced into the caption prompt; the
+    frozen SD UNet reconstructs the noised training latents
+    (ddpm.py:2896-2950 recon path under zero-shot conditioning).
+
+    batch: {'z0', 'faceid', 'caption_ids' [B,77], 'subj_bi' [B],
+            'subj_pos' [B], 'fg_mask', 'aug_mask', 'skip_weights' [N]}.
+    """
+    K = subj_basis_cfg.num_out_embs_per_layer
+
+    def loss_fn(trainable, batch, key):
+        z0 = batch["z0"]
+        b = z0.shape[0]
+        kt, kn = jax.random.split(key)
+        t = jax.random.randint(kt, (b,), 0, sched.num_timesteps)
+        noise = jax.random.normal(kn, z0.shape, jnp.float32)
+
+        _, core_id = a2f.forward_face_embs(
+            frozen.arc2face_text, tokenizer, batch["faceid"],
+            text_cfg=frozen.arc2face_text_cfg, input_max_length=21)
+        core_id = jax.lax.stop_gradient(core_id)
+
+        subj_embs, _ = sbg.forward(trainable["subj_basis"], subj_basis_cfg,
+                                   tokenizer, core_id, is_training=True)
+        # zero-shot subject branch repeats the core embs over layers —
+        # use the L'=1 fast path
+        ctx = cond_mod.encode_spliced(
+            frozen.text, batch["caption_ids"],
+            [(subj_embs[:, :1], batch["subj_bi"], batch["subj_pos"], K)],
+            batch["skip_weights"], num_ca_layers, frozen.text_cfg)
+
+        z_t = q_sample(sched, z0, t, noise)
+        eps = unet_mod.forward(frozen.unet, z_t.astype(compute_dtype), t,
+                               ctx.astype(compute_dtype),
+                               cfg=frozen.unet_cfg).astype(jnp.float32)
+        loss = calc_recon_loss(eps, noise, batch.get("aug_mask"),
+                               batch.get("fg_mask"), fg_pixel_weight=1.0,
+                               bg_pixel_weight=0.1)
+        return loss, {"loss_recon": loss}
+
+    def step(state, batch, key):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return steps_mod.TrainState(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
+class AdaPromptTrainer:
+    """Host loop: iteration-type state machine + batch prep + logging."""
+
+    def __init__(self, frozen: steps_mod.FrozenSD, vae_params, vae_cfg,
+                 tokenizer, subj_basis_cfg, sbg_params,
+                 batch_iterator, cfg: TrainerConfig,
+                 face_embedder=None, subject_spec=None):
+        self.frozen = frozen
+        self.vae_params = vae_params
+        self.vae_cfg = vae_cfg
+        self.tokenizer = tokenizer
+        self.subj_basis_cfg = subj_basis_cfg
+        self.cfg = cfg
+        self.batch_iterator = batch_iterator
+        self.face_embedder = face_embedder
+        self.rng = np.random.default_rng(cfg.seed)
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+        self.subject_spec = subject_spec or cond_mod.make_placeholders(
+            tokenizer, ("z",), ("y",),
+            num_vectors_subj=subj_basis_cfg.num_out_embs_per_layer)[0]
+
+        self.optimizer = build_optimizer(cfg)
+        self.state = steps_mod.create_train_state({"subj_basis": sbg_params},
+                                                  self.optimizer)
+
+        self._recon_step = jax.jit(make_zs_recon_step(
+            self.optimizer, frozen, tokenizer, subj_basis_cfg,
+            compute_dtype=self.dtype))
+        self._distill_steps = {}
+        self._encode_latents = jax.jit(
+            lambda imgs: vae_mod.encode(vae_params, imgs, cfg=vae_cfg)[0] * 0.18215)
+
+        os.makedirs(cfg.out_dir, exist_ok=True)
+        self._metrics_file = open(os.path.join(cfg.out_dir, "metrics.jsonl"), "a")
+
+    # -- batch prep -------------------------------------------------------------
+
+    def _skip_weights(self):
+        base = np.asarray(self.cfg.skip_weights, np.float64)
+        if self.cfg.randomize_clip_skip:
+            # Dirichlet-sampled clip-skip (encoders/modules.py:412-440)
+            w = self.rng.dirichlet(base + 1e-6)
+        else:
+            w = base / base.sum()
+        return jnp.asarray(w, jnp.float32)
+
+    def _latent_mask(self, mask_np):
+        m = jnp.asarray(np.asarray(mask_np, np.float32))[..., None]
+        f = 2 ** (self.vae_cfg.num_resolutions - 1)
+        h, w = m.shape[1] // f, m.shape[2] // f
+        from adaprompt_tpu.models.vae import _resize_mask_nearest
+        return _resize_mask_nearest(m, (h, w))
+
+    def prepare_recon_batch(self, raw: dict) -> dict:
+        imgs = jnp.asarray(raw["image"], self.dtype)
+        z0 = self._encode_latents(imgs).astype(jnp.float32)
+        ids = self.tokenizer([c for c in raw["caption"]])
+        bi, pos = cond_mod.find_placeholder_indices(ids, self.subject_spec)
+        b = z0.shape[0]
+        if self.face_embedder is not None:
+            faceid = np.stack([
+                (self.face_embedder.embed_image(im)[:1].reshape(-1)
+                 if len(self.face_embedder.embed_image(im)) else
+                 self.rng.standard_normal(512).astype(np.float32))
+                for im in raw["image_unnorm"]])
+        else:
+            faceid = self.rng.standard_normal((b, 512)).astype(np.float32)
+        faceid = faceid / np.linalg.norm(faceid, axis=-1, keepdims=True)
+        return {
+            "z0": z0,
+            "faceid": jnp.asarray(faceid),
+            "caption_ids": jnp.asarray(ids),
+            "subj_bi": jnp.asarray(bi if len(bi) == b else np.arange(b), jnp.int32),
+            "subj_pos": jnp.asarray(pos if len(pos) == b else np.full(b, 1), jnp.int32),
+            "fg_mask": self._latent_mask(raw["fg_mask"]),
+            "aug_mask": self._latent_mask(raw["aug_mask"]),
+            "skip_weights": self._skip_weights(),
+        }
+
+    # -- the state machine ---------------------------------------------------------
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def train_step(self, step_idx: int) -> dict:
+        raw = next(self.batch_iterator)
+        batch = self.prepare_recon_batch(raw)
+
+        do_distill = self.rng.random() < self.cfg.arc2face_distill_iter_prob
+        if do_distill:
+            nd = int(self.rng.choice(self.cfg.num_denoising_steps_range))
+            if nd not in self._distill_steps:
+                self._distill_steps[nd] = jax.jit(steps_mod.make_arc2face_distill_step(
+                    self.optimizer, self.frozen, self.tokenizer,
+                    self.subj_basis_cfg, num_denoising_steps=nd,
+                    compute_dtype=self.dtype,
+                    skip_weights=self.cfg.skip_weights))
+            self.state, metrics = self._distill_steps[nd](self.state, batch,
+                                                          self._next_key())
+            metrics["iter_type"] = "arc2face_distill"
+        else:
+            self.state, metrics = self._recon_step(self.state, batch, self._next_key())
+            metrics["iter_type"] = "recon"
+
+        out = {k: (float(v) if hasattr(v, "dtype") else v)
+               for k, v in metrics.items()}
+        out["step"] = step_idx
+        self._metrics_file.write(json.dumps(out) + "\n")
+        self._metrics_file.flush()
+        return out
+
+    def train(self, num_steps: int | None = None):
+        n = num_steps or self.cfg.max_steps
+        t0 = time.time()
+        for i in range(n):
+            metrics = self.train_step(i)
+            if (i + 1) % self.cfg.ckpt_every == 0 or i == n - 1:
+                self.save_checkpoint(i + 1)
+        return time.time() - t0
+
+    def save_checkpoint(self, step: int):
+        path = os.path.join(self.cfg.out_dir, f"embeddings_gs-{step}.npz")
+        ckpt_mod.save_checkpoint(path, {"subj_basis": self.state.params["subj_basis"]},
+                                 meta={"step": step,
+                                       "placeholder": self.subject_spec.string})
+        return path
+
+    def load_checkpoint(self, path: str):
+        trees, meta = ckpt_mod.load_checkpoint(path)
+        params = dict(self.state.params)
+        params["subj_basis"] = trees["subj_basis"]
+        self.state = steps_mod.create_train_state(params, self.optimizer)
+        return meta

@@ -10,6 +10,15 @@ import jax.numpy as jnp
 from adaprompt_tpu.pipeline import StableDiffusionPipeline
 from adaprompt_tpu.utils.tokenizer import CLIPTokenizer
 
+# Persistent compilation cache: subsequent CLI invocations with the same
+# shapes skip the multi-minute XLA compile.
+_CACHE_DIR = os.environ.get("ADAPROMPT_JAX_CACHE", os.path.expanduser("~/.cache/adaprompt_jax"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 
 def add_model_args(p):
     p.add_argument("--ckpt", type=str, default=os.environ.get("ADAPROMPT_SD_CKPT"),

@@ -72,6 +72,16 @@ def load_subj_basis(args, pipe):
 
 def main(argv=None):
     args = parse_args(argv)
+    # validate cheap inputs BEFORE loading models
+    prompts = [args.prompt]
+    if args.from_file:
+        with open(args.from_file) as f:
+            prompts = [ln.strip() for ln in f if ln.strip()]
+        if not prompts:
+            raise SystemExit(f"no prompts in {args.from_file}")
+    if args.ref_images and not os.path.isdir(args.ref_images):
+        raise SystemExit(f"--ref_images folder not found: {args.ref_images}")
+
     pipe = common.load_pipeline(args)
     sbg_params, scfg = load_subj_basis(args, pipe)
 
@@ -110,11 +120,6 @@ def main(argv=None):
                                        (), num_vectors_subj=scfg.num_out_embs_per_layer)
     pc = cond_mod.PromptConditioner(pipe.params.text, pipe.tokenizer, specs,
                                     pipe.text_cfg)
-
-    prompts = [args.prompt]
-    if args.from_file:
-        with open(args.from_file) as f:
-            prompts = [ln.strip() for ln in f if ln.strip()]
 
     sw = tuple(args.clip_skip_weights)
     all_paths = []

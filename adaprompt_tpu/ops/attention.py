@@ -75,21 +75,24 @@ def _attention_xla(q, k, v, mask, scale):
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_k):
     # Shapes per program: q_ref [block_q, D], k_ref [seq_k, D], v_ref [seq_k, Dv]
-    q = q_ref[:].astype(jnp.float32) * scale
+    # Matmuls run on bf16 inputs with fp32 accumulation (full MXU rate);
+    # softmax statistics stay fp32.
+    q = q_ref[:]
     block_q, d = q.shape
     dv = v_ref.shape[-1]
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
-        k_blk = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        k_blk = k_ref[pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[pl.ds(i * block_k, block_k), :]
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(p.astype(v_blk.dtype), v_blk,
+                                    preferred_element_type=jnp.float32)
         return m_new, l_new, acc
 
     m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
@@ -117,8 +120,10 @@ def _attention_flash(q, k, v, scale):
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * h, sk, dv)
 
-    block_q = _pick_block(sq, 512)
-    block_k = _pick_block(sk, 512)
+    # single K pass when K fits VMEM comfortably (<=4096) — avoids the
+    # online-softmax rescale traffic; otherwise stream 1024-blocks
+    block_q = _pick_block(sq, 256 if sk >= 4096 else 512)
+    block_k = _pick_block(sk, 4096)
 
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, block_k=block_k, seq_k=sk),

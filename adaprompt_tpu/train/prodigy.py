@@ -31,6 +31,60 @@ import jax.numpy as jnp
 import optax
 
 
+def additive(*txs: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Sum the updates of several transformations applied to the same grads —
+    the reference's ProdigyAdamW dual-optimizer scheme (ddpm.py:5274-5302)
+    steps Prodigy and a warm-started AdamW on the same parameters."""
+
+    def init(params):
+        return tuple(tx.init(params) for tx in txs)
+
+    def update(grads, state, params=None):
+        new_states = []
+        total = None
+        for tx, st in zip(txs, state):
+            upd, st2 = tx.update(grads, st, params)
+            new_states.append(st2)
+            total = upd if total is None else jax.tree.map(jnp.add, total, upd)
+        return total, tuple(new_states)
+
+    return optax.GradientTransformation(init, update)
+
+
+def prodigy_adamw(max_steps: int, base_lr: float, *, warm_up_steps: int = 500,
+                  d_coef: float = 2.0, prodigy_betas=(0.9, 0.999),
+                  adam_betas=(0.9, 0.993), weight_decay: float = 0.0):
+    """ProdigyAdamW: Prodigy (with its warmup+linear-decay schedule) plus an
+    AdamW that idles at lr*1e-4 for the first half and ramps with a one-cycle
+    schedule over the last cycle (ddpm.py:5274-5302 semantics)."""
+    import numpy as np
+    from adaprompt_tpu.train.lr_schedules import prodigy_lr_schedule
+
+    p_sched = prodigy_lr_schedule(max_steps, warm_up_steps, 1)
+    last_cycle = max_steps - warm_up_steps
+    kickin = max_steps - last_cycle
+
+    def adamw_sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        idle = base_lr * 1e-4
+        # one-cycle: ramp to base_lr/4 at 30% of the cycle, back to base_lr/40
+        rel = jnp.clip((step - kickin) / max(last_cycle, 1), 0.0, 1.0)
+        up = rel / 0.3
+        down = (rel - 0.3) / 0.7
+        max_lr, init_lr = base_lr / 4, base_lr / 40
+        lr_cycle = jnp.where(rel < 0.3,
+                             init_lr + (max_lr - init_lr) * 0.5 * (1 - jnp.cos(np.pi * up)),
+                             init_lr + (max_lr - init_lr) * 0.5 * (1 + jnp.cos(np.pi * down)))
+        return jnp.where(step < kickin, idle, lr_cycle)
+
+    return additive(
+        prodigy(lr=p_sched, betas=prodigy_betas, d_coef=d_coef,
+                use_bias_correction=True, weight_decay=weight_decay),
+        optax.adamw(adamw_sched, b1=adam_betas[0], b2=adam_betas[1],
+                    weight_decay=weight_decay),
+    )
+
+
 class ProdigyState(NamedTuple):
     exp_avg: chex.ArrayTree
     exp_avg_sq: chex.ArrayTree

@@ -95,7 +95,26 @@ def ensure_reference_importable():
     _STUBBED = True
 
 
+_REAL_LDM = None
+
+
 def load(module_name: str):
-    """Import a module from the reference tree, e.g. 'ldm.modules.attention'."""
+    """Import a module from the reference tree, e.g. 'ldm.modules.attention'.
+
+    The reference's adaface modules alias sys.modules['ldm'] to the adaface
+    package (subj_basis_generator.py:23), which breaks subsequent real ldm.*
+    imports — restore the real package entry around every import."""
+    global _REAL_LDM
     ensure_reference_importable()
+    if _REAL_LDM is None:
+        # bind the real ldm package + ldm.util before any adaface alias hack
+        if "ldm" in sys.modules and getattr(sys.modules["ldm"], "__name__", "") != "ldm":
+            del sys.modules["ldm"]
+        # drop any ldm.* entries that actually resolve to adaface modules
+        for k in [k for k, v in sys.modules.items()
+                  if k.startswith("ldm.") and getattr(v, "__name__", "").startswith("adaface")]:
+            del sys.modules[k]
+        _REAL_LDM = importlib.import_module("ldm")
+        importlib.import_module("ldm.util")
+    sys.modules["ldm"] = _REAL_LDM
     return importlib.import_module(module_name)

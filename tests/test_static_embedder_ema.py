@@ -38,8 +38,10 @@ def test_ema_matches_litema():
     torch.manual_seed(1)
     model = torch.nn.Linear(4, 3)
     lit = em.LitEma(model, decay=0.99)
-    params = {"weight": jnp.asarray(model.weight.detach().numpy()),
-              "bias": jnp.asarray(model.bias.detach().numpy())}
+    # np.array copies: jnp.asarray on CPU can zero-copy-alias the torch
+    # tensor's memory, which the in-place updates below would mutate
+    params = {"weight": jnp.array(np.array(model.weight.detach().numpy())),
+              "bias": jnp.array(np.array(model.bias.detach().numpy()))}
     state = ema_mod.ema_init(params)
     for i in range(3):
         with torch.no_grad():

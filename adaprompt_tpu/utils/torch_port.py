@@ -17,7 +17,11 @@ import numpy as np
 
 
 def load_state_dict(path: str) -> dict:
-    """Load a .ckpt/.pt/.pth/.bin (torch) or .safetensors file to numpy."""
+    """Load a .ckpt/.pt/.pth/.bin (torch), .safetensors, or flat .npz file
+    to a numpy state dict."""
+    if path.endswith(".npz"):
+        data = np.load(path, allow_pickle=False)
+        return {k: data[k] for k in data.files if k != "__meta__"}
     if path.endswith(".safetensors"):
         from safetensors import safe_open
         out = {}

@@ -63,11 +63,10 @@ def _mix_at_indices(cls_emb, subj_emb, subj_pos, cls_scales):
     """cls everywhere except at subject token positions, where
     cls*scale + subj*(1-scale). Shapes [L,B,S,D]; cls_scales [B,L]."""
     L, B, S, D = cls_emb.shape
-    mask = np.ones((S,), np.float32)
     scale = jnp.ones((L, B, S, 1), cls_emb.dtype)
     sc = cls_scales.T[:, :, None, None]  # [L,B,1,1]
-    pos = jnp.asarray(np.asarray(subj_pos, np.int64))
-    scale = scale.at[:, :, pos].set(jnp.broadcast_to(sc, (L, B, len(subj_pos), 1)))
+    pos = jnp.asarray(subj_pos)
+    scale = scale.at[:, :, pos].set(jnp.broadcast_to(sc, (L, B, pos.shape[0], 1)))
     return cls_emb * scale + subj_emb * (1.0 - scale)
 
 
@@ -170,7 +169,7 @@ def _avg_pool(x, kernel: int, stride: int):
 def select_subj_attn(attnscore, subj_pos, k_fg: int):
     """attnscore [4B, heads, Q, 77] + K subject token positions ->
     summed subject attention [4B, heads, Q]."""
-    pos = jnp.asarray(np.asarray(subj_pos, np.int64))
+    pos = jnp.asarray(subj_pos)
     sel = attnscore[:, :, :, pos]              # [4B, heads, Q, K]
     return sel.sum(axis=-1)
 
@@ -203,7 +202,7 @@ def calc_prompt_mix_loss(ca_outfeats: dict, ca_attnscores: dict, subj_pos,
             outfeat = layer_norm(outfeat, p["scale"], p["bias"])
 
         attnscore = ca_attnscores[li]
-        k_fg = len(subj_pos)
+        k_fg = jnp.asarray(subj_pos).shape[0]
         subj_attn = select_subj_attn(attnscore, subj_pos, k_fg)  # [4B, h, Q]
         ss_a, sc_a, ms_a, mc_a = jnp.split(subj_attn, 4, axis=0)
 

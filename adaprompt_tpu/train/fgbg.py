@@ -84,7 +84,7 @@ def resize_mask_for_attn(mask: jax.Array, target_hw: int) -> jax.Array:
 
 def _select_score(attnscore, pos):
     """[B, heads, Q, 77] + K token positions -> summed [B, heads, Q]."""
-    pos = jnp.asarray(np.asarray(pos, np.int64))
+    pos = jnp.asarray(pos)
     return attnscore[:, :, :, pos].sum(axis=-1)
 
 
@@ -140,7 +140,8 @@ def calc_fg_bg_complementary_loss(ca_attnscores: dict, subj_pos, bg_pos,
                                               block_size, fg_mask), zero, zero
 
     w = _norm_w(ATTN_ALIGN_LAYER_WEIGHTS)
-    k_fg, k_bg = len(subj_pos), len(bg_pos)
+    k_fg = jnp.asarray(subj_pos).shape[0]
+    k_bg = jnp.asarray(bg_pos).shape[0]
     subj_mb_scale, bg_mf_scale, contrast_scale = 0.05, 0.1, 0.05
     mfmb_margin = 0.4
     subj_bg_at_mf_margin = 0.4 * k_fg / k_bg
@@ -188,7 +189,7 @@ def calc_fg_bg_xlayer_consist_loss(ca_attnscores: dict, subj_pos, bg_pos,
 
     def layer_attn(score, pos):
         # mean over heads, sum over K -> [SSB, Q]
-        p = jnp.asarray(np.asarray(pos, np.int64))
+        p = jnp.asarray(pos)
         return score[:ssb_size, :, :, p].mean(axis=1).sum(axis=-1)
 
     for li, score in ca_attnscores.items():

@@ -225,8 +225,142 @@ class AdaPromptTrainer:
         self.key, k = jax.random.split(self.key)
         return k
 
+    # -- compositional distillation iters -----------------------------------------
+
+    def _ensure_compos(self):
+        if hasattr(self, "_compos_phase"):
+            return
+        from adaprompt_tpu.train import compos_step as cs
+        from adaprompt_tpu.adaface import subj_basis_generator as sbg
+
+        self._cached_inits = cs.CachedInits(1000)
+        models = cs.ComposModels(unet=self.frozen.unet, vae=self.vae_params,
+                                 unet_cfg=self.frozen.unet_cfg,
+                                 vae_cfg=self.vae_cfg)
+        K = self.subj_basis_cfg.num_out_embs_per_layer
+        frozen = self.frozen
+        scfg = self.subj_basis_cfg
+        tok = self.tokenizer
+
+        def context_fn(trainable, batch):
+            _, core_id = a2f.forward_face_embs(
+                frozen.arc2face_text, tok, batch["faceid"],
+                text_cfg=frozen.arc2face_text_cfg, input_max_length=21)
+            core_id = jax.lax.stop_gradient(core_id)
+            subj_embs, _ = sbg.forward(trainable["subj_basis"], scfg, tok,
+                                       core_id, is_training=True)
+            # encode the 4-type prompts; subject vectors spliced into rows 0,1
+            ctx4 = cond_mod.encode_spliced(
+                frozen.text, batch["ids4"],
+                [(subj_embs[:, :1], batch["subj_rows"], batch["subj_pos4"], K)],
+                batch["skip_weights"], 16, frozen.text_cfg, layerwise=True)
+            # distribute the class embedding over the K aligned slots in the
+            # cls rows (ddpm.py:2030-2050 / distribute_embedding_to_M_tokens)
+            pos0 = batch["cls_pos"]                                # [2] traced
+            L, _, S, D = ctx4.shape
+            cls_rows = ctx4[:, 2:4]                                # [L,2,S,D]
+            idx0 = jnp.broadcast_to(pos0.reshape(1, 2, 1, 1), (L, 2, 1, D))
+            col0 = jnp.take_along_axis(cls_rows, idx0, axis=2)     # [L,2,1,D]
+            repl = jnp.broadcast_to(col0 / np.sqrt(K), (L, 2, K, D))
+            li = jnp.broadcast_to(jnp.arange(L)[:, None, None], (L, 2, K))
+            bi = jnp.broadcast_to(jnp.asarray([2, 3])[None, :, None], (L, 2, K))
+            pi = jnp.broadcast_to(pos0[None, :, None] + jnp.arange(K)[None, None], (L, 2, K))
+            ctx4 = ctx4.at[li, bi, pi].set(repl.astype(ctx4.dtype))
+
+            static_embs = ctx4.transpose(1, 0, 2, 3)          # [4, L, S, D]
+            mask = (batch["ids4"] != tok.eos_id).astype(jnp.float32)[..., None]
+            return {"ctx4": ctx4, "static_embs": static_embs,
+                    "prompt_emb_mask": mask,
+                    "subj_pos": batch["subj_pos_host"], "bg_pos": None}
+
+        self._compos_phase = cs.make_compos_train_phase(
+            self.optimizer, models, context_fn, compute_dtype=self.dtype,
+            training_percent=0.0)
+
+    def prepare_compos_batch(self, raw: dict) -> dict | None:
+        """4-type prompt batch from the first sample (BLOCK_SIZE=1,
+        ddpm.py:2602-2606)."""
+        use_fp = "subj_prompt_single_fp" in raw
+        sfx = "_fp" if use_fp else ""
+        prompts = [raw[f"subj_prompt_single{sfx}"][0],
+                   raw[f"subj_prompt_comp{sfx}"][0].split("|")[0],
+                   raw[f"cls_prompt_single{sfx}"][0],
+                   raw[f"cls_prompt_comp{sfx}"][0].split("|")[0]]
+        ids4 = self.tokenizer(prompts)
+        bi, pos = cond_mod.find_placeholder_indices(ids4, self.subject_spec)
+        if len(bi) < 2 or list(bi[:2]) != [0, 1]:
+            return None
+        # cls token in rows 2,3 is expected at the same positions
+        subj_pos_host = [int(pos[0]) + k for k in
+                         range(self.subject_spec.num_vectors)]
+        b = len(raw["image"])
+        imgs = jnp.asarray(raw["image"][:1], self.dtype)
+        z0 = self._encode_latents(imgs).astype(jnp.float32)
+        if self.face_embedder is not None:
+            e = self.face_embedder.embed_image(raw["image_unnorm"][0])
+            faceid = e[:1] if len(e) else self.rng.standard_normal((1, 512)).astype(np.float32)
+        else:
+            faceid = self.rng.standard_normal((1, 512)).astype(np.float32)
+        faceid = faceid / np.linalg.norm(faceid, axis=-1, keepdims=True)
+        return {
+            "z0": z0,
+            "ids4": jnp.asarray(ids4),
+            "subj_rows": jnp.asarray(bi[:2], jnp.int32),
+            "subj_pos4": jnp.asarray(pos[:2], jnp.int32),
+            "cls_pos": jnp.asarray(pos[:2], jnp.int32),  # aligned templates
+            "subj_pos_host": subj_pos_host,
+            "faceid": jnp.asarray(faceid),
+            "fg_mask": self._latent_mask(raw["fg_mask"][:1]),
+            "skip_weights": self._skip_weights(),
+            "subject_name": raw["subject_name"][0],
+        }
+
+    def _compos_step(self, cbatch: dict) -> dict:
+        from adaprompt_tpu.train import compos_step as cs
+        self._ensure_compos()
+        name = cbatch["subject_name"]
+        if self._cached_inits.has(name):
+            x_start_np, t_np = self._cached_inits.take(name, self.rng)
+            x_start = jnp.asarray(x_start_np)
+            t = jnp.asarray(t_np)
+        else:
+            t = jnp.asarray(self.rng.integers(800, 1000, size=(4,)), jnp.int32)
+            z0 = jnp.tile(cbatch["z0"], (4, 1, 1, 1))
+            fg = jnp.tile(cbatch["fg_mask"], (4, 1, 1, 1))
+            scale = cs.pick_fg_rand_scale(np.asarray(cbatch["fg_mask"]), self.rng)
+            x_start, _, _ = cs.init_x_with_fg_from_training_image(
+                z0, fg, fg, self._next_key(), scale)
+        noise = jax.random.normal(self._next_key(), x_start.shape, jnp.float32)
+        batch = {"x_start": x_start, "t": t, "noise": noise,
+                 "fg_mask": cbatch["fg_mask"],
+                 "faceid": cbatch["faceid"], "ids4": cbatch["ids4"],
+                 "subj_rows": cbatch["subj_rows"], "subj_pos4": cbatch["subj_pos4"],
+                 "cls_pos": cbatch["cls_pos"],
+                 "subj_pos_host": tuple(cbatch["subj_pos_host"]),
+                 "skip_weights": cbatch["skip_weights"]}
+        self.state, metrics, x_recon = self._compos_phase(self.state, batch,
+                                                          self._next_key())
+        self._cached_inits.put(name, np.asarray(x_recon), np.asarray(t))
+        metrics = dict(metrics)
+        metrics["iter_type"] = "compos_distill"
+        return metrics
+
     def train_step(self, step_idx: int) -> dict:
         raw = next(self.batch_iterator)
+
+        if (self.cfg.composition_regs_iter_gap > 0
+                and step_idx % self.cfg.composition_regs_iter_gap == 0
+                and step_idx > 0):
+            cbatch = self.prepare_compos_batch(raw)
+            if cbatch is not None:
+                metrics = self._compos_step(cbatch)
+                out = {k: (float(v) if hasattr(v, "dtype") else v)
+                       for k, v in metrics.items()}
+                out["step"] = step_idx
+                self._metrics_file.write(json.dumps(out) + "\n")
+                self._metrics_file.flush()
+                return out
+
         batch = self.prepare_recon_batch(raw)
 
         do_distill = self.rng.random() < self.cfg.arc2face_distill_iter_prob

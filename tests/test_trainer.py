@@ -64,14 +64,18 @@ def test_trainer_two_steps(subject_tree, tmp_path):
     cfg = trainer_mod.TrainerConfig(
         max_steps=10, grad_accum=1, arc2face_distill_iter_prob=0.5,
         num_denoising_steps_range=(1,), ckpt_every=100,
+        composition_regs_iter_gap=2,
         out_dir=str(tmp_path / "run"), compute_dtype="float32", seed=0)
     tr = trainer_mod.AdaPromptTrainer(frozen, vae_params, vcfg, tok, scfg,
                                       sparams, it, cfg)
     seen = set()
-    for i in range(3):
+    for i in range(4):
         m = tr.train_step(i)
-        assert np.isfinite(m.get("loss_recon", m.get("loss_arc2face_distill")))
+        loss = m.get("loss_recon",
+                     m.get("loss_arc2face_distill", m.get("loss_compos")))
+        assert np.isfinite(loss), m
         seen.add(m["iter_type"])
+    assert "compos_distill" in seen  # step 2 is a compositional iter
 
     p = tr.save_checkpoint(3)
     meta = tr.load_checkpoint(p)

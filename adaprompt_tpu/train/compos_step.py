@@ -196,13 +196,28 @@ def make_compos_train_phase(optimizer: optax.GradientTransformation,
         loss_fg_x, loss_bg_x = fgbg_mod.calc_fg_bg_xlayer_consist_loss(
             attnscores, subj_pos, cinfo.get("bg_pos"), ssb_size=2)
 
+        # elastic-matching fg/bg preservation (ddpm.py:3272-3368 weighting)
+        loss_preserve = jnp.asarray(0.0)
+        if fg_mask is not None:
+            from adaprompt_tpu.train.elastic import calc_comp_fg_bg_preserve_loss
+            qs = {li: v.astype(jnp.float32) for li, v in captures["q"].items()}
+            (l_map, l_scss, l_mcms, l_scmc, l_subj_sup, l_mix_sup) = \
+                calc_comp_fg_bg_preserve_loss(outfeats, qs, attnscores,
+                                              fg_mask, subj_pos, block_size=1)
+            # relative weights within the preserve family follow the
+            # reference's comp_fg_bg_preserve aggregation
+            loss_preserve = (l_map + l_scss + l_mcms + l_scmc
+                             + (l_subj_sup + l_mix_sup) * 10.0)
+
         loss = (lw["mix_prompt_distill"] * loss_mix
                 + lw["prompt_emb_delta"] * loss_delta
-                + lw["fg_bg_xlayer_consist"] * (loss_fg_x + loss_bg_x))
+                + lw["fg_bg_xlayer_consist"] * (loss_fg_x + loss_bg_x)
+                + lw["comp_fg_bg_preserve"] * loss_preserve)
         metrics = {"loss_compos": loss, "loss_mix_prompt_distill": loss_mix,
                    "loss_prompt_emb_delta": loss_delta,
                    "loss_fg_xlayer_consist": loss_fg_x,
-                   "loss_bg_xlayer_consist": loss_bg_x}
+                   "loss_bg_xlayer_consist": loss_bg_x,
+                   "loss_comp_fg_bg_preserve": loss_preserve}
         return loss, (metrics, x_recon)
 
     def phase(state: TrainState, batch, key):

@@ -144,7 +144,13 @@ class AdaPromptTrainer:
     def __init__(self, frozen: steps_mod.FrozenSD, vae_params, vae_cfg,
                  tokenizer, subj_basis_cfg, sbg_params,
                  batch_iterator, cfg: TrainerConfig,
-                 face_embedder=None, subject_spec=None):
+                 face_embedder=None, subject_spec=None, clip_scorer=None,
+                 num_candidate_teachers: int = 2):
+        # clip_scorer: optional eval.clip_scorer.CLIPScorer for compositional
+        # teacher filtering (do_clip_teacher_filtering, yaml:31); without it
+        # every fresh compositional iteration is treated as teachable.
+        self.clip_scorer = clip_scorer
+        self.num_candidate_teachers = num_candidate_teachers
         self.frozen = frozen
         self.vae_params = vae_params
         self.vae_cfg = vae_cfg
@@ -273,6 +279,7 @@ class AdaPromptTrainer:
                     "prompt_emb_mask": mask,
                     "subj_pos": batch["subj_pos_host"], "bg_pos": None}
 
+        self._filter_ctx_fn = context_fn  # also usable eagerly for filtering
         self._compos_phase = cs.make_compos_train_phase(
             self.optimizer, models, context_fn, compute_dtype=self.dtype,
             training_percent=0.0)
@@ -313,13 +320,50 @@ class AdaPromptTrainer:
             "fg_mask": self._latent_mask(raw["fg_mask"][:1]),
             "skip_weights": self._skip_weights(),
             "subject_name": raw["subject_name"][0],
+            "cls_comp_prompt": prompts[3],
         }
+
+    def _teacher_filter(self, cbatch: dict, x_start, t, noise) -> bool:
+        """Fresh-iteration CLIP teacher filtering (ddpm.py:3043-3135,
+        3597-3664): denoise once, decode, CLIP-score the comp images against
+        the class comp prompt; teachable iff cls loss <= 0.28 and
+        subj - cls margin > 0.002."""
+        if self.clip_scorer is None:
+            return True
+        from adaprompt_tpu.train import compos_step as cs
+        from adaprompt_tpu.train.compos import clip_teachability
+        if not hasattr(self, "_filter_phase"):
+            models = cs.ComposModels(unet=self.frozen.unet, vae=self.vae_params,
+                                     unet_cfg=self.frozen.unet_cfg,
+                                     vae_cfg=self.vae_cfg)
+            self._filter_phase = cs.make_filter_phase(models, cfg_scale=5.0,
+                                                      compute_dtype=self.dtype)
+        # one (subj_comp, mix_comp) candidate pair from the current contexts:
+        # reuse the train-phase context_fn via a throwaway trace-free call
+        cinfo = None
+        try:
+            cinfo = self._filter_ctx_fn(self.state.params, cbatch)
+        except Exception:
+            return True
+        ctx4 = cinfo["ctx4"]
+        ctx2 = ctx4[:, 1:4:2]  # (subj_comp, cls_comp)
+        x2 = x_start[1:4:2]
+        t2 = t[1:4:2]
+        n2 = noise[1:4:2]
+        _, imgs = self._filter_phase(ctx2, ctx2, None, x2, t2, n2)
+        prompt = cbatch["cls_comp_prompt"]
+        sims = self.clip_scorer.txt_to_img_similarity(
+            [prompt, prompt], np.asarray(imgs), reduction="diag")
+        losses = 0.5 - np.asarray(sims)
+        ok = clip_teachability(jnp.asarray([losses[1]]), jnp.asarray([losses[0]]))
+        return bool(np.asarray(ok)[0])
 
     def _compos_step(self, cbatch: dict) -> dict:
         from adaprompt_tpu.train import compos_step as cs
         self._ensure_compos()
         name = cbatch["subject_name"]
-        if self._cached_inits.has(name):
+        fresh = not self._cached_inits.has(name)
+        if not fresh:
             x_start_np, t_np = self._cached_inits.take(name, self.rng)
             x_start = jnp.asarray(x_start_np)
             t = jnp.asarray(t_np)
@@ -331,6 +375,9 @@ class AdaPromptTrainer:
             x_start, _, _ = cs.init_x_with_fg_from_training_image(
                 z0, fg, fg, self._next_key(), scale)
         noise = jax.random.normal(self._next_key(), x_start.shape, jnp.float32)
+
+        if fresh and not self._teacher_filter(cbatch, x_start, t, noise):
+            return {"iter_type": "compos_distill_skipped", "teachable": 0.0}
         batch = {"x_start": x_start, "t": t, "noise": noise,
                  "fg_mask": cbatch["fg_mask"],
                  "faceid": cbatch["faceid"], "ids4": cbatch["ids4"],

@@ -80,3 +80,20 @@ def test_trainer_two_steps(subject_tree, tmp_path):
     p = tr.save_checkpoint(3)
     meta = tr.load_checkpoint(p)
     assert meta["step"] == 3
+
+    # with a CLIP scorer attached, compositional iters go through teacher
+    # filtering (and either train or report a skip)
+    from adaprompt_tpu.eval.clip_scorer import CLIPScorer
+    from adaprompt_tpu.models import clip_vision
+    sc_tcfg = clip_text.CLIPTextConfig(vocab_size=50000, hidden_size=64,
+                                       intermediate_size=128, num_layers=2,
+                                       num_heads=4, eos_token_id=tok.eos_id)
+    sc_vcfg = clip_vision.CLIPVisionConfig(image_size=32, patch_size=8,
+                                           hidden_size=64, intermediate_size=128,
+                                           num_layers=2, num_heads=4,
+                                           projection_dim=32)
+    tr.clip_scorer = CLIPScorer.random_init(0, tokenizer=tok, text_cfg=sc_tcfg,
+                                            vision_cfg=sc_vcfg)
+    tr._cached_inits.cache.clear()
+    m = tr.train_step(4)  # 4 % 2 == 0 -> compositional iter, fresh -> filter
+    assert m["iter_type"] in ("compos_distill", "compos_distill_skipped")

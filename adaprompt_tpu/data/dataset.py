@@ -129,8 +129,11 @@ class PersonalizedDataset:
                  num_vectors_per_subj_token: int = 16,
                  num_vectors_per_bg_token: int = 4,
                  num_compositions_per_image: int = 1,
-                 seed: int | None = None):
+                 seed: int | None = None,
+                 overlay_provider=None, overlay_prob: float = 0.0):
         assert subjects, "no subjects found"
+        self.overlay_provider = overlay_provider
+        self.overlay_prob = overlay_prob
         self.subjects = subjects
         self.size = size
         self.flip_p = flip_p
@@ -179,6 +182,19 @@ class PersonalizedDataset:
             broad_class=subj.broad_class, is_animal=True,
             num_compositions_per_image=self.num_compositions_per_image,
             rng=self.rng))
+
+        # optional background overlay composition (the reference's wds path,
+        # personalized.py:721-830)
+        ex["has_wds_comp"] = False
+        ex["wds_caption"] = ex["caption"]
+        ex["wds_caption_bg"] = ex["caption_bg"]
+        ex["wds_comp_extra"] = ""
+        if (self.overlay_provider is not None
+                and self.rng.random() < self.overlay_prob):
+            from adaprompt_tpu.data.overlays import composite_wds_example
+            bg = self.overlay_provider.sample()
+            if bg is not None:
+                ex = composite_wds_example(ex, bg[0], bg[1], subj.cls_delta_string)
         return ex
 
 

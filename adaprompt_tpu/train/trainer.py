@@ -151,6 +151,7 @@ class AdaPromptTrainer:
         # every fresh compositional iteration is treated as teachable.
         self.clip_scorer = clip_scorer
         self.num_candidate_teachers = num_candidate_teachers
+        self.mesh = None
         self.frozen = frozen
         self.vae_params = vae_params
         self.vae_cfg = vae_cfg
@@ -180,6 +181,56 @@ class AdaPromptTrainer:
 
         os.makedirs(cfg.out_dir, exist_ok=True)
         self._metrics_file = open(os.path.join(cfg.out_dir, "metrics.jsonl"), "a")
+
+    # -- multi-chip -----------------------------------------------------------
+
+    def distribute(self, mesh=None, fsdp: int = 1):
+        """Shard the trainer over a (dp, fsdp) mesh: frozen/trainable params
+        FSDP-sharded or replicated, recon batches sharded over dp by
+        prepare_recon_batch. GSPMD inserts the gradient all-reduce — the
+        reference's 2-GPU DDP generalized to the chip count."""
+        from adaprompt_tpu.parallel import mesh as mesh_mod
+        self.mesh = mesh or mesh_mod.make_mesh(fsdp=fsdp)
+        sp = lambda tree: mesh_mod.shard_params(tree, self.mesh)
+        self.frozen = steps_mod.FrozenSD(
+            unet=sp(self.frozen.unet), text=sp(self.frozen.text),
+            arc2face_text=sp(self.frozen.arc2face_text),
+            teacher_unet=sp(self.frozen.teacher_unet)
+            if self.frozen.teacher_unet is not None else None,
+            unet_cfg=self.frozen.unet_cfg, text_cfg=self.frozen.text_cfg,
+            arc2face_text_cfg=self.frozen.arc2face_text_cfg)
+        self.vae_params = sp(self.vae_params)
+        self.state = steps_mod.TrainState(
+            params=sp(self.state.params),
+            opt_state=jax.tree.map(
+                lambda x: x if not hasattr(x, "shape") else
+                mesh_mod.replicate(x, self.mesh), self.state.opt_state),
+            step=self.state.step)
+        # rebuild jitted fns against the sharded frozen params
+        self._recon_step = jax.jit(make_zs_recon_step(
+            self.optimizer, self.frozen, self.tokenizer, self.subj_basis_cfg,
+            compute_dtype=self.dtype))
+        self._distill_steps = {}
+        for attr in ("_compos_phase", "_filter_phase", "_filter_ctx_fn"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        return self.mesh
+
+    def _shard_batch(self, batch: dict) -> dict:
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp = NamedSharding(self.mesh, P("dp"))
+        rep = NamedSharding(self.mesh, P())
+        out = {}
+        for k, v in batch.items():
+            if v is None or not hasattr(v, "shape"):
+                out[k] = v
+            elif v.ndim >= 1 and v.shape[0] % self.mesh.shape["dp"] == 0 and v.shape[0] > 1:
+                out[k] = jax.device_put(v, dp)
+            else:
+                out[k] = jax.device_put(v, rep)
+        return out
 
     # -- batch prep -------------------------------------------------------------
 
@@ -408,7 +459,7 @@ class AdaPromptTrainer:
                 self._metrics_file.flush()
                 return out
 
-        batch = self.prepare_recon_batch(raw)
+        batch = self._shard_batch(self.prepare_recon_batch(raw))
 
         do_distill = self.rng.random() < self.cfg.arc2face_distill_iter_prob
         if do_distill:

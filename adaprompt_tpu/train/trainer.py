@@ -493,6 +493,44 @@ class AdaPromptTrainer:
                 self.save_checkpoint(i + 1)
         return time.time() - t0
 
+    def log_samples(self, step: int, prompt: str = "a photo of a z",
+                    faceid: np.ndarray | None = None, num_steps: int = 20,
+                    n: int = 2, height: int = 512, width: int = 512):
+        """Periodic sample grid (ImageLogger role, main.py:563-666): generate
+        with the CURRENT SubjBasisGenerator and save a PNG strip."""
+        from adaprompt_tpu import pipeline as pl
+        from adaprompt_tpu.adaface import subj_basis_generator as sbg
+        from adaprompt_tpu.adaface import conditioner as cond_mod2
+        from adaprompt_tpu.adaface import arc2face as a2f_mod
+
+        if faceid is None:
+            faceid = self.rng.standard_normal((1, 512)).astype(np.float32)
+            faceid /= np.linalg.norm(faceid, axis=-1, keepdims=True)
+        params = pl.SDParams(unet=self.frozen.unet, vae=self.vae_params,
+                             text=self.frozen.text)
+        pipe = pl.StableDiffusionPipeline(
+            params, tokenizer=self.tokenizer, unet_cfg=self.frozen.unet_cfg,
+            vae_cfg=self.vae_cfg, text_cfg=self.frozen.text_cfg,
+            compute_dtype=self.dtype)
+        _, core_id = a2f_mod.forward_face_embs(
+            self.frozen.arc2face_text, self.tokenizer, jnp.asarray(faceid),
+            text_cfg=self.frozen.arc2face_text_cfg, input_max_length=21)
+        subj_embs, _ = sbg.forward(self.state.params["subj_basis"],
+                                   self.subj_basis_cfg, self.tokenizer,
+                                   core_id, is_training=False)
+        pc = cond_mod2.PromptConditioner(self.frozen.text, self.tokenizer,
+                                         [self.subject_spec], self.frozen.text_cfg)
+        cond = pc([prompt] * n, {self.subject_spec.string: subj_embs})
+        uncond = pc([pl.DEFAULT_NEGATIVE_PROMPT] * n, {})
+        imgs = pipe.generate(None, context=cond, context_uncond=uncond,
+                             num_steps=num_steps, height=height, width=width,
+                             seed=step)
+        from PIL import Image
+        strip = np.concatenate(list(imgs), axis=1)
+        path = os.path.join(self.cfg.out_dir, f"samples_gs-{step}.png")
+        Image.fromarray(strip).save(path)
+        return path
+
     def save_checkpoint(self, step: int):
         path = os.path.join(self.cfg.out_dir, f"embeddings_gs-{step}.npz")
         ckpt_mod.save_checkpoint(path, {"subj_basis": self.state.params["subj_basis"]},

@@ -97,3 +97,9 @@ def test_trainer_two_steps(subject_tree, tmp_path):
     tr._cached_inits.cache.clear()
     m = tr.train_step(4)  # 4 % 2 == 0 -> compositional iter, fresh -> filter
     assert m["iter_type"] in ("compos_distill", "compos_distill_skipped")
+
+    # ImageLogger-style sample grid
+    import os
+    path = tr.log_samples(5, prompt="photo of a z", num_steps=2, n=2,
+                          height=IMG, width=IMG)
+    assert os.path.exists(path)

@@ -43,6 +43,13 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out_dir", type=str, default="runs/adaprompt")
     p.add_argument("--ckpt_every", type=int, default=500)
+    p.add_argument("--overlay_source", type=str, default=None,
+                   help="background-overlay dir or .tar (wds role)")
+    p.add_argument("--overlay_prob", type=float, default=0.0)
+    p.add_argument("--fsdp", type=int, default=1,
+                   help="fsdp axis size; trains data-parallel over all chips")
+    p.add_argument("--sample_every", type=int, default=0,
+                   help="save a sample grid every N steps (ImageLogger role)")
     p.add_argument("--num_steps", type=int, default=None,
                    help="steps to run this invocation (default: max_steps)")
     return p.parse_args(argv)
@@ -74,8 +81,15 @@ def main(argv=None):
 
     subjects = ds.scan_subject_folders(args.data_roots)
     print(f"{len(subjects)} subjects, {sum(len(s.image_paths) for s in subjects)} images")
+    overlay = None
+    if args.overlay_source:
+        from adaprompt_tpu.data.overlays import BackgroundOverlayProvider
+        overlay = BackgroundOverlayProvider(args.overlay_source, size=args.size,
+                                            seed=args.seed)
     dset = ds.PersonalizedDataset(subjects, size=args.size, seed=args.seed,
-                                  num_vectors_per_subj_token=scfg.num_out_embs_per_layer)
+                                  num_vectors_per_subj_token=scfg.num_out_embs_per_layer,
+                                  overlay_provider=overlay,
+                                  overlay_prob=args.overlay_prob)
     it = ds.make_batch_iterator(dset, ds.SubjectSampler(subjects, seed=args.seed),
                                 batch_size=args.bs)
 
@@ -92,8 +106,26 @@ def main(argv=None):
                                       tok, scfg, sbg_params, it, cfg)
     if args.adaface_ckpt:
         tr.load_checkpoint(args.adaface_ckpt)
-    dt = tr.train(args.num_steps)
-    print(f"trained for {dt:.1f}s")
+
+    import jax as _jax
+    mesh = None
+    if len(_jax.devices()) > 1 or args.fsdp > 1:
+        mesh = tr.distribute(fsdp=args.fsdp)
+        print(f"training over mesh {dict(mesh.shape)}")
+
+    import contextlib
+    ctx = mesh or contextlib.nullcontext()
+    with ctx:
+        n = args.num_steps or cfg.max_steps
+        import time as _time
+        t0 = _time.time()
+        for i in range(n):
+            tr.train_step(i)
+            if args.sample_every and (i + 1) % args.sample_every == 0:
+                tr.log_samples(i + 1)
+            if (i + 1) % cfg.ckpt_every == 0 or i == n - 1:
+                tr.save_checkpoint(i + 1)
+        print(f"trained {n} steps in {_time.time() - t0:.1f}s")
 
 
 if __name__ == "__main__":

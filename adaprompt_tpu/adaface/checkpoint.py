@@ -62,6 +62,27 @@ def _unflatten(flat: dict):
     return listify(root)
 
 
+def save_pytree_leaves(path_prefix: str, tree, flat: dict):
+    """Flatten ANY jax pytree (incl. NamedTuples/optax states) into indexed
+    leaf arrays; structure is reconstructed against a freshly-initialized
+    template on load (load_pytree_leaves)."""
+    leaves = jax.tree.leaves(tree)
+    for i, leaf in enumerate(leaves):
+        flat[f"{path_prefix}/{i}"] = np.asarray(leaf)
+
+
+def load_pytree_leaves(path_prefix: str, template, flat: dict):
+    leaves, treedef = jax.tree.flatten(template)
+    out = []
+    for i, tmpl in enumerate(leaves):
+        v = flat[f"{path_prefix}/{i}"]
+        if hasattr(tmpl, "shape") and tuple(np.shape(v)) != tuple(np.shape(tmpl)):
+            raise ValueError(f"{path_prefix}/{i}: shape {np.shape(v)} != "
+                             f"template {np.shape(tmpl)}")
+        out.append(jnp.asarray(v))
+    return jax.tree.unflatten(treedef, out)
+
+
 def save_checkpoint(path: str, trees: dict, meta: dict | None = None):
     """trees: {name: pytree}; stored flat as '<name>/<path>' arrays."""
     flat = {}

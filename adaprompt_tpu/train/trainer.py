@@ -544,3 +544,37 @@ class AdaPromptTrainer:
         params["subj_basis"] = trees["subj_basis"]
         self.state = steps_mod.create_train_state(params, self.optimizer)
         return meta
+
+    # -- full-state resume (the reference's Lightning -r/--resume role) --------
+
+    def save_full_state(self, step: int) -> str:
+        """Snapshot params + optimizer state + step for exact resume
+        (incl. Prodigy's D estimate and EMAs)."""
+        import numpy as np
+        flat = {}
+        for name, tree in self.state.params.items():
+            flat.update(ckpt_mod._flatten(tree, f"params.{name}/"))
+        ckpt_mod.save_pytree_leaves("optstate", self.state.opt_state, flat)
+        flat["__meta__"] = np.frombuffer(
+            json.dumps({"step": step}).encode(), dtype=np.uint8)
+        path = os.path.join(self.cfg.out_dir, f"trainer_state-{step}.npz")
+        np.savez(path, **flat)
+        return path
+
+    def load_full_state(self, path: str):
+        import numpy as np
+        data = np.load(path, allow_pickle=False)
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        flat = {k: data[k] for k in data.files if k != "__meta__"}
+        param_flat = {k[len("params."):]: v for k, v in flat.items()
+                      if k.startswith("params.")}
+        groups: dict = {}
+        for k, v in param_flat.items():
+            name, rest = k.split("/", 1)
+            groups.setdefault(name, {})[rest] = v
+        params = {name: ckpt_mod._unflatten(g) for name, g in groups.items()}
+        opt_template = self.optimizer.init(params)
+        opt_state = ckpt_mod.load_pytree_leaves("optstate", opt_template, flat)
+        self.state = steps_mod.TrainState(params=params, opt_state=opt_state,
+                                          step=jnp.asarray(meta["step"], jnp.int32))
+        return meta

@@ -103,3 +103,16 @@ def test_trainer_two_steps(subject_tree, tmp_path):
     path = tr.log_samples(5, prompt="photo of a z", num_steps=2, n=2,
                           height=IMG, width=IMG)
     assert os.path.exists(path)
+
+    # full-state resume: params AND optimizer state (Prodigy D) round-trip
+    sp = tr.save_full_state(5)
+    d_before = float(tr.state.opt_state.inner_opt_state[1].d) \
+        if hasattr(tr.state.opt_state, "inner_opt_state") else None
+    before = jax.tree.leaves(tr.state.params)
+    tr.state = trainer_mod.steps_mod.create_train_state(tr.state.params,
+                                                        tr.optimizer)
+    meta = tr.load_full_state(sp)
+    assert meta["step"] == 5
+    after = jax.tree.leaves(tr.state.params)
+    for a, b in zip(before, after):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

@@ -55,7 +55,8 @@ def _unflatten(flat: dict):
         if not isinstance(node, dict):
             return node
         keys = list(node.keys())
-        if keys and all(k.isdigit() for k in keys):
+        if keys and all(k.isdigit() for k in keys) \
+                and sorted(int(k) for k in keys) == list(range(len(keys))):
             return [listify(node[str(i)]) for i in range(len(keys))]
         return {k: listify(v) for k, v in node.items()}
 

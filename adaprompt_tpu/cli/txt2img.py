@@ -73,8 +73,14 @@ def load_subj_basis(args, pipe):
 def main(argv=None):
     args = parse_args(argv)
     # validate cheap inputs BEFORE loading models
+    if args.ddim_steps < 1:
+        raise SystemExit(f"--ddim_steps must be >= 1, got {args.ddim_steps}")
+    if args.n_samples < 1:
+        raise SystemExit(f"--n_samples must be >= 1, got {args.n_samples}")
     prompts = [args.prompt]
     if args.from_file:
+        if not os.path.isfile(args.from_file):
+            raise SystemExit(f"--from_file not found: {args.from_file}")
         with open(args.from_file) as f:
             prompts = [ln.strip() for ln in f if ln.strip()]
         if not prompts:

@@ -60,6 +60,9 @@ class UNetConfig:
     num_heads: int = 8
     context_dim: int = 768
     use_checkpoint: bool = True
+    # fuse GroupNorm-SiLU into the ResBlock convs via the Pallas halo kernel
+    # (TPU/bf16/spatial>=16 only; +20-80% on those convs, ops/conv_halo.py)
+    fused_conv: bool = False
 
     @property
     def time_embed_dim(self):
@@ -321,15 +324,88 @@ def from_torch(state_dict, cfg: UNetConfig = SD15_UNET_CONFIG, dtype=jnp.float32
 # Forward
 # ---------------------------------------------------------------------------
 
-def _resblock(p: dict, x: jax.Array, emb: jax.Array) -> jax.Array:
+def _layer_ca_map(inp_plan, out_plan) -> dict:
+    """layer_idx -> CA idx derived from the plan (attention layers numbered
+    in order); reproduces LAYER_IDX2CA_IDX exactly for the SD-1.5 plan."""
+    l2ca = {}
+    li = 0
+    for e in inp_plan:
+        if e.get("attn"):
+            l2ca[li] = len(l2ca)
+        li += 1
+    l2ca[li] = len(l2ca)  # middle block
+    li += 1
+    for e in out_plan:
+        if e.get("attn"):
+            l2ca[li] = len(l2ca)
+        li += 1
+    return l2ca
+
+
+def precompute_cross_kv(params: dict, context: jax.Array,
+                        context_k: jax.Array | None = None,
+                        cfg: UNetConfig = SD15_UNET_CONFIG) -> dict:
+    """Hoist the cross-attention K/V projections out of a sampler loop.
+
+    The text context is constant across DDIM steps, so each CA layer's
+    K = ctx_k @ W_k and V = ctx_v @ W_v can be computed once per prompt
+    instead of once per step (50x fewer projections at DDIM-50).
+
+    Returns {layer_idx: (k [B,S,H,hd], v [B,S,H,hd])} to pass as
+    forward(..., cross_kv=...). context layouts as in forward.
+    """
+    if context.ndim == 3:
+        context = context[None]
+    if context_k is None:
+        context_k = context
+    elif context_k.ndim == 3:
+        context_k = context_k[None]
+    L = context.shape[0]
+    inp_plan, _, out_plan = _build_plan(cfg)
+    l2ca = _layer_ca_map(inp_plan, out_plan)
+
+    def attn2_params(layer_idx):
+        n_inp = len(inp_plan)
+        if layer_idx < n_inp:
+            return params["input_blocks"][layer_idx]["attn"]["block"]["attn2"]
+        if layer_idx == n_inp:
+            return params["middle_block"]["attn"]["block"]["attn2"]
+        return params["output_blocks"][layer_idx - n_inp - 1]["attn"]["block"]["attn2"]
+
+    out = {}
+    for layer_idx, ca in l2ca.items():
+        p = attn2_params(layer_idx)
+        i = min(ca, L - 1)
+        cv, ck = context[i], context_k[i]
+        b = cv.shape[0]
+        hd = p["to_k"]["kernel"].shape[-1] // cfg.num_heads
+        k = linear(ck, p["to_k"]["kernel"]).reshape(b, -1, cfg.num_heads, hd)
+        v = linear(cv, p["to_v"]["kernel"]).reshape(b, -1, cfg.num_heads, hd)
+        out[layer_idx] = (k, v)
+    return out
+
+
+def _resblock(p: dict, x: jax.Array, emb: jax.Array,
+              fused_conv: bool = False) -> jax.Array:
     # GroupNorm32 -> SiLU -> conv; +time; GroupNorm32 -> SiLU -> conv(zero)
     # (openaimodel.py:205-280; GroupNorm default eps 1e-5)
-    h = group_norm(x, p["norm_in"]["scale"], p["norm_in"]["bias"], eps=1e-5, activation="silu")
-    h = conv2d(h, p["conv_in"]["kernel"], p["conv_in"]["bias"])
+    def gn_silu_conv(v, norm, conv):
+        # per-conv dispatch: the Pallas fused kernel only for shapes measured
+        # faster than XLA's pipeline (conv_halo._FUSED_TABLE)
+        if fused_conv:
+            from adaprompt_tpu.ops.conv_halo import (gn_silu_conv3x3_halo,
+                                                     fused_conv_eligible)
+            if fused_conv_eligible(v, conv["kernel"].shape[-1]):
+                return gn_silu_conv3x3_halo(v, norm["scale"], norm["bias"],
+                                            conv["kernel"], conv["bias"])
+        hh = group_norm(v, norm["scale"], norm["bias"], eps=1e-5,
+                        activation="silu")
+        return conv2d(hh, conv["kernel"], conv["bias"])
+
+    h = gn_silu_conv(x, p["norm_in"], p["conv_in"])
     e = linear(jax.nn.silu(emb), p["emb"]["kernel"], p["emb"]["bias"])
-    h = h + e[:, None, None, :]
-    h = group_norm(h, p["norm_out"]["scale"], p["norm_out"]["bias"], eps=1e-5, activation="silu")
-    h = conv2d(h, p["conv_out"]["kernel"], p["conv_out"]["bias"])
+    h = h + e[:, None, None, :].astype(h.dtype)
+    h = gn_silu_conv(h, p["norm_out"], p["conv_out"])
     if "skip" in p:
         x = conv1x1(x, p["skip"]["kernel"][0, 0], p["skip"]["bias"])
     return x + h
@@ -337,11 +413,14 @@ def _resblock(p: dict, x: jax.Array, emb: jax.Array) -> jax.Array:
 
 def _cross_attention(p: dict, x: jax.Array, ctx_v: jax.Array, ctx_k: jax.Array,
                      num_heads: int, self_mask: jax.Array | None = None,
-                     capture: bool = False):
+                     capture: bool = False, kv=None):
     """LDM CrossAttention (attention.py:147-257) with separate V/K contexts.
 
     x: [B, N, C]; ctx_*: [B, S, Dctx]. self_mask: [B, N] key mask (1=keep)
-    applied only for self-attention (img_mask semantics).
+    applied only for self-attention (img_mask semantics). kv: optional
+    precomputed ([B,S,H,hd], [B,S,H,hd]) K/V — the context is constant
+    across DDIM steps, so samplers hoist these projections out of the scan
+    (precompute_cross_kv).
     Returns out [B, N, C] and, when capture, dict(q, attn, attnscore) in the
     reference's cached_activations layout ([B, H, ...], q scaled by
     sqrt(scale)).
@@ -352,8 +431,11 @@ def _cross_attention(p: dict, x: jax.Array, ctx_v: jax.Array, ctx_k: jax.Array,
     if ctx_v is None:  # self-attention
         ctx_v = ctx_k = x
     q = linear(x, p["to_q"]["kernel"]).reshape(b, n, num_heads, hd)
-    k = linear(ctx_k, p["to_k"]["kernel"]).reshape(b, -1, num_heads, hd)
-    v = linear(ctx_v, p["to_v"]["kernel"]).reshape(b, -1, num_heads, hd)
+    if kv is not None:
+        k, v = kv
+    else:
+        k = linear(ctx_k, p["to_k"]["kernel"]).reshape(b, -1, num_heads, hd)
+        v = linear(ctx_v, p["to_v"]["kernel"]).reshape(b, -1, num_heads, hd)
 
     mask = None
     if self_mask is not None:
@@ -387,7 +469,7 @@ def _geglu_ff(p: dict, x: jax.Array) -> jax.Array:
 
 
 def _spatial_transformer(p: dict, x: jax.Array, ctx_v, ctx_k, num_heads: int,
-                         img_mask=None, capture: bool = False):
+                         img_mask=None, capture: bool = False, kv=None):
     b, h, w, c = x.shape
     x_in = x
     y = group_norm(x, p["norm"]["scale"], p["norm"]["bias"], eps=1e-6)
@@ -405,7 +487,8 @@ def _spatial_transformer(p: dict, x: jax.Array, ctx_v, ctx_k, num_heads: int,
                              None, None, num_heads, self_mask=self_mask)
     y = y + a1
     a2, cached = _cross_attention(bp["attn2"], layer_norm(y, bp["norm2"]["scale"], bp["norm2"]["bias"]),
-                                  ctx_v, ctx_k, num_heads, capture=capture)
+                                  ctx_v, ctx_k, num_heads, capture=capture,
+                                  kv=kv)
     y = y + a2
     y = y + _geglu_ff(bp["ff"], layer_norm(y, bp["norm3"]["scale"], bp["norm3"]["bias"]))
 
@@ -418,6 +501,7 @@ def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array
             *, context_k: jax.Array | None = None,
             img_mask: jax.Array | None = None,
             capture_ca: bool = False,
+            cross_kv: dict | None = None,
             cfg: UNetConfig = SD15_UNET_CONFIG):
     """Predict epsilon.
 
@@ -451,21 +535,7 @@ def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array
 
     inp_plan, mid_plan, out_plan = _build_plan(cfg)
     captures = {}
-
-    # layer_idx -> CA idx derived from the plan (attention layers numbered in
-    # order); reproduces LAYER_IDX2CA_IDX exactly for the SD-1.5 plan.
-    l2ca = {}
-    li = 0
-    for e in inp_plan:
-        if e.get("attn"):
-            l2ca[li] = len(l2ca)
-        li += 1
-    l2ca[li] = len(l2ca)  # middle block
-    li += 1
-    for e in out_plan:
-        if e.get("attn"):
-            l2ca[li] = len(l2ca)
-        li += 1
+    l2ca = _layer_ca_map(inp_plan, out_plan)
 
     def ctx_for(layer_idx):
         ca = l2ca.get(layer_idx)
@@ -480,12 +550,14 @@ def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array
         if "downsample" in bp:
             return conv2d(h, bp["downsample"]["kernel"], bp["downsample"]["bias"],
                           stride=2, padding=1)
-        h = _resblock(bp["res"], h, emb)
+        h = _resblock(bp["res"], h, emb, cfg.fused_conv)
         if "attn" in bp:
             cv, ck = ctx_for(layer_idx)
             cap = capture_ca and layer_idx in DISTILL_LAYER_INDICES
+            kv = cross_kv.get(layer_idx) if cross_kv is not None else None
             h, cached = _spatial_transformer(bp["attn"], h, cv, ck, cfg.num_heads,
-                                             img_mask=img_mask, capture=cap)
+                                             img_mask=img_mask, capture=cap,
+                                             kv=kv)
             if cap:
                 cached["outfeat"] = h
                 captures[layer_idx] = cached
@@ -503,12 +575,13 @@ def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array
         layer_idx += 1
 
     mb = params["middle_block"]
-    h = _resblock(mb["res1"], h, emb)
+    h = _resblock(mb["res1"], h, emb, cfg.fused_conv)
     cv, ck = ctx_for(layer_idx)
     cap = capture_ca and layer_idx in DISTILL_LAYER_INDICES
+    kv = cross_kv.get(layer_idx) if cross_kv is not None else None
     h, cached = _spatial_transformer(mb["attn"], h, cv, ck, cfg.num_heads,
-                                     img_mask=img_mask, capture=cap)
-    h = _resblock(mb["res2"], h, emb)
+                                     img_mask=img_mask, capture=cap, kv=kv)
+    h = _resblock(mb["res2"], h, emb, cfg.fused_conv)
     if cap:
         cached["outfeat"] = h
         captures[layer_idx] = cached

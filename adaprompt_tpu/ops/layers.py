@@ -21,6 +21,8 @@ Reference behaviors mirrored here (semantics only, re-derived for JAX):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -95,18 +97,46 @@ def linear(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None) -> ja
     return y
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv_core(x: jax.Array, kernel: jax.Array, stride, padding) -> jax.Array:
+    """fp32-accumulation conv (measured faster than bf16 accumulation on
+    v5e, docs/PERF.md). The custom VJP exists because JAX's conv transpose
+    rule rejects the fp32 cotangent that preferred_element_type=f32 induces
+    against a bf16 kernel; backward runs the two transpose convs in the
+    activation dtype (standard mixed-precision practice)."""
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def _conv_core_fwd(x, kernel, stride, padding):
+    return _conv_core(x, kernel, stride, padding), (x, kernel)
+
+
+def _conv_core_bwd(stride, padding, res, g):
+    x, kernel = res
+
+    def plain(x_, k_):
+        return jax.lax.conv_general_dilated(
+            x_, k_, window_strides=(stride, stride), padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    _, vjp = jax.vjp(plain, x, kernel)
+    dx, dk = vjp(g.astype(x.dtype))
+    return dx, dk.astype(kernel.dtype)
+
+
+_conv_core.defvjp(_conv_core_fwd, _conv_core_bwd)
+
+
 def conv2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
            stride: int = 1, padding: int | str | tuple = 1) -> jax.Array:
     """NHWC conv with HWIO kernel."""
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
-    y = jax.lax.conv_general_dilated(
-        x, kernel.astype(x.dtype),
-        window_strides=(stride, stride),
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    y = _conv_core(x, kernel.astype(x.dtype), stride, padding)
     if bias is not None:
         y = y + bias.astype(x.dtype)
     return y

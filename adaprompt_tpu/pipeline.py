@@ -186,10 +186,14 @@ def _generate_jit(unet_params, vae_params, cond, uncond, x_T,
                   num_steps, guidance, return_latents, unet_cfg, vae_cfg,
                   sched, dt):
     ctx = jnp.concatenate([cond, uncond], axis=1).astype(dt)  # [L, 2B, 77, D]
+    # context is constant across DDIM steps: hoist every CA layer's K/V
+    # projection out of the scan (50x fewer projections at DDIM-50)
+    cross_kv = unet_mod.precompute_cross_kv(unet_params, ctx, cfg=unet_cfg)
 
     def model_fn(x, t):
         return unet_mod.forward(unet_params, x.astype(dt), t,
-                                ctx, cfg=unet_cfg).astype(jnp.float32)
+                                ctx, cross_kv=cross_kv,
+                                cfg=unet_cfg).astype(jnp.float32)
 
     z = ddim.ddim_sample(model_fn, x_T, num_steps=num_steps,
                          guidance_scale=guidance, sched=sched)

@@ -175,31 +175,37 @@ def select_subj_attn(attnscore, subj_pos, k_fg: int):
 
 
 def calc_prompt_mix_loss(ca_outfeats: dict, ca_attnscores: dict, subj_pos,
-                         block_size: int = 1, outfeat_lns: dict | None = None):
+                         block_size: int = 1,
+                         normalize_outfeat: jax.Array | float = 0.0):
     """ddpm.py:3714-3930 over our NHWC captures.
 
     ca_outfeats: {layer_idx: [4B, H, W, C]}; ca_attnscores:
     {layer_idx: [4B, heads, Q, 77]}; subj_pos: K subject token positions
     (same for all 4 blocks — same_subject_in_batch).
 
+    normalize_outfeat: traced 0/1 scalar — the reference applies an
+    affine-free LayerNorm (ca_outfeat_lns) to the outfeats with probability
+    0.5 per iteration (ddpm.py:3371-3384); the caller draws the coin on the
+    host and scales feat_delta_align by 5x when set.
+
     Returns (loss_feat_delta_align, loss_subj_attn_delta_align,
              loss_subj_attn_norm_distill).
     """
-    from adaprompt_tpu.ops.layers import layer_norm
-
     feat_w = _normalize_weights(FEAT_DISTILL_LAYER_WEIGHTS)
     attn_delta_w = _normalize_weights(ATTN_DELTA_LAYER_WEIGHTS)
     attn_norm_w = _normalize_weights(ATTN_NORM_LAYER_WEIGHTS)
 
     mix_feat_gs, mix_attn_gs = 0.1, 0.05
     l_attn_delta, l_feat_delta, l_attn_norm = [], [], []
+    norm_flag = jnp.asarray(normalize_outfeat, jnp.float32)
 
     for li, outfeat in ca_outfeats.items():
         if li not in feat_w and li not in attn_norm_w:
             continue
-        if outfeat_lns is not None and li in outfeat_lns:
-            p = outfeat_lns[li]
-            outfeat = layer_norm(outfeat, p["scale"], p["bias"])
+        of_mean = jnp.mean(outfeat, axis=-1, keepdims=True)
+        of_var = jnp.var(outfeat, axis=-1, keepdims=True)
+        of_ln = (outfeat - of_mean) * jax.lax.rsqrt(of_var + 1e-5)
+        outfeat = norm_flag * of_ln + (1.0 - norm_flag) * outfeat
 
         attnscore = ca_attnscores[li]
         k_fg = jnp.asarray(subj_pos).shape[0]

@@ -183,11 +183,17 @@ def make_compos_train_phase(optimizer: optax.GradientTransformation,
         outfeats = {li: v.astype(jnp.float32) for li, v in captures["outfeat"].items()}
         attnscores = {li: v.astype(jnp.float32) for li, v in captures["attnscore"].items()}
 
+        # 50% host coin: affine-free LN on outfeats, feat-delta scale x5
+        # (ddpm.py:3370-3384; base scale 0.5 under do_zero_shot)
+        norm_of = batch.get("normalize_outfeat", jnp.asarray(0.0))
         loss_feat, loss_attn_delta, loss_attn_norm = compos_mod.calc_prompt_mix_loss(
-            outfeats, attnscores, subj_pos, block_size=1)
+            outfeats, attnscores, subj_pos, block_size=1,
+            normalize_outfeat=norm_of)
+        feat_scale = 0.5 * (1.0 + 4.0 * jnp.asarray(norm_of, jnp.float32))
         # attn-norm L1 is much smaller in scale; the reference scales it up
         # by ~10 inside p_losses
-        loss_mix = loss_feat + loss_attn_delta + loss_attn_norm * 10.0
+        loss_mix = (loss_feat * feat_scale + loss_attn_delta
+                    + loss_attn_norm * 10.0)
 
         loss_delta = calc_prompt_emb_delta_loss(cinfo["static_embs"],
                                                 cinfo.get("prompt_emb_mask"))
@@ -198,10 +204,11 @@ def make_compos_train_phase(optimizer: optax.GradientTransformation,
 
         # elastic-matching fg/bg preservation (ddpm.py:3272-3368 weighting)
         loss_preserve = jnp.asarray(0.0)
+        q_bn_stats: dict = {}
         if fg_mask is not None:
             from adaprompt_tpu.train.elastic import calc_comp_fg_bg_preserve_loss
             qs = {li: v.astype(jnp.float32) for li, v in captures["q"].items()}
-            (l_map, l_scss, l_mcms, l_scmc, l_subj_sup, l_mix_sup) = \
+            (l_map, l_scss, l_mcms, l_scmc, l_subj_sup, l_mix_sup), q_bn_stats = \
                 calc_comp_fg_bg_preserve_loss(outfeats, qs, attnscores,
                                               fg_mask, subj_pos, block_size=1)
             # relative weights within the preserve family follow the
@@ -218,14 +225,15 @@ def make_compos_train_phase(optimizer: optax.GradientTransformation,
                    "loss_fg_xlayer_consist": loss_fg_x,
                    "loss_bg_xlayer_consist": loss_bg_x,
                    "loss_comp_fg_bg_preserve": loss_preserve}
-        return loss, (metrics, x_recon)
+        return loss, (metrics, x_recon, q_bn_stats)
 
     def phase(state: TrainState, batch, key):
-        (loss, (metrics, x_recon)), grads = jax.value_and_grad(
+        (loss, (metrics, x_recon, q_bn_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, key)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["q_bn_stats"] = q_bn_stats
         return TrainState(params, opt_state, state.step + 1), metrics, \
             jax.lax.stop_gradient(x_recon)
 

@@ -85,22 +85,30 @@ def calc_elastic_matching_loss(ca_q, ca_outfeat, fg_mask, *,
 def calc_comp_fg_bg_preserve_loss(ca_outfeats: dict, ca_qs: dict,
                                   ca_attnscores: dict, fg_mask: jax.Array,
                                   subj_pos, block_size: int = 1,
-                                  outfeat_lns: dict | None = None):
+                                  normalize_q_outfeat: bool = True):
     """ddpm.py:4389-4560 over our captures.
 
     ca_outfeats: {layer: [4B, H, W, C]}; ca_qs: {layer: [4B, heads, N, d]}
     (our UNet q capture); ca_attnscores: {layer: [4B, heads, Q, 77]};
     fg_mask: [B, H0, W0, 1]; subj_pos: K subject token positions.
 
-    Returns (loss_comp_single_map_align, loss_sc_ss_fg_match,
-             loss_mc_ms_fg_match(=0), loss_sc_mc_bg_match,
-             loss_comp_subj_bg_attn_suppress, loss_comp_mix_bg_attn_suppress).
-    """
-    from adaprompt_tpu.ops.layers import layer_norm
+    With normalize_q_outfeat (normalize_ca_q_and_outfeat=True in the
+    reference config, ddpm.py:3295-3300), q features pass through an
+    affine-free batch-stat BatchNorm (the embedding_manager's ca_q_bns,
+    embedding_manager.py:1205-1215) and outfeats through an affine-free
+    LayerNorm (ca_outfeat_lns) before matching.
 
+    Returns ((loss_comp_single_map_align, loss_sc_ss_fg_match,
+              loss_mc_ms_fg_match(=0), loss_sc_mc_bg_match,
+              loss_comp_subj_bg_attn_suppress,
+              loss_comp_mix_bg_attn_suppress),
+             q_bn_stats: {layer: (mean[C], var[C])} batch statistics for the
+             trainer's ca_q_bns running-stat bookkeeping).
+    """
     zero = jnp.asarray(0.0)
+    q_bn_stats: dict = {}
     if fg_mask is None:
-        return (zero,) * 6
+        return (zero,) * 6, q_bn_stats
     w = _normalize_weights(FEAT_DISTILL_LAYER_WEIGHTS)
     mix_gs = 0.02
 
@@ -117,13 +125,27 @@ def calc_comp_fg_bg_preserve_loss(ca_outfeats: dict, ca_qs: dict,
         q_sp = q.transpose(0, 1, 3, 2).reshape(b4, heads * d, qh, qh)
         # NHWC for resizing/pooling
         q_sp = q_sp.transpose(0, 2, 3, 1)
+        if normalize_q_outfeat:
+            # ca_q_bns: BatchNorm2d(affine=False) in train mode — normalize
+            # per channel with batch statistics (ddpm.py:4442-4443)
+            q_mean = jnp.mean(q_sp, axis=(0, 1, 2))
+            q_var = jnp.var(q_sp, axis=(0, 1, 2))
+            # running stats use the unbiased variance (torch BN semantics);
+            # the normalization itself uses the biased one
+            n = q_sp.shape[0] * q_sp.shape[1] * q_sp.shape[2]
+            q_bn_stats[li] = (jax.lax.stop_gradient(q_mean),
+                              jax.lax.stop_gradient(q_var * n / max(n - 1, 1)))
+            q_sp = (q_sp - q_mean) * jax.lax.rsqrt(q_var + 1e-5)
 
         of = outfeat
         if of.shape[1:3] != q_sp.shape[1:3]:
             of = bilinear_resize_torch(of, q_sp.shape[1:3])
-        if outfeat_lns is not None and li in outfeat_lns:
-            p = outfeat_lns[li]
-            of = layer_norm(of, p["scale"], p["bias"])
+        if normalize_q_outfeat:
+            # ca_outfeat_lns: LayerNorm(elementwise_affine=False) over
+            # channels (ddpm.py:4449-4450)
+            of_mean = jnp.mean(of, axis=-1, keepdims=True)
+            of_var = jnp.var(of, axis=-1, keepdims=True)
+            of = (of - of_mean) * jax.lax.rsqrt(of_var + 1e-5)
 
         pool = (lambda x: _avg_pool(x, 4, 2)) if of.shape[1] > 8 else (lambda x: x)
         q_pooled = pool(q_sp)
@@ -160,4 +182,5 @@ def calc_comp_fg_bg_preserve_loss(ca_outfeats: dict, ca_qs: dict,
                          * lw * any_fg)
 
     s = lambda xs: sum(xs) if xs else zero
-    return (s(l_map), s(l_scss), zero, s(l_scmc), s(l_subj_sup), s(l_mix_sup))
+    return (s(l_map), s(l_scss), zero, s(l_scmc),
+            s(l_subj_sup), s(l_mix_sup)), q_bn_stats

@@ -43,10 +43,18 @@ def demean(x: jax.Array, axis=-1) -> jax.Array:
     return x - jnp.mean(x, axis=axis, keepdims=True)
 
 
+def _safe_norm(x, axis=-1):
+    """L2 norm whose gradient is 0 (not NaN) at the zero vector. Needed
+    because masked-out delta rows are exactly zero here (the reference
+    boolean-indexes them away; we weight them to zero instead, and
+    NaN * 0 = NaN in the backward pass)."""
+    sq = jnp.sum(x * x, axis=axis)
+    return jnp.sqrt(jnp.maximum(sq, 1e-24))
+
+
 def _cosine_embedding_loss(a, b, label: int = 1):
     """F.cosine_embedding_loss(reduction='none') with margin 0."""
-    cos = jnp.sum(a * b, axis=-1) / (
-        jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1) + 1e-12)
+    cos = jnp.sum(a * b, axis=-1) / (_safe_norm(a) * _safe_norm(b) + 1e-12)
     if label == 1:
         return 1.0 - cos
     return jnp.maximum(cos, 0.0)

@@ -162,6 +162,8 @@ class AdaPromptTrainer:
         self.face_embedder = face_embedder
         self.rng = np.random.default_rng(cfg.seed)
         self.key = jax.random.PRNGKey(cfg.seed)
+        # ca_q_bns running stats (embedding_manager.py:1205-1215 bookkeeping)
+        self.ca_q_bn_stats: dict = {}
         self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
         self.subject_spec = subject_spec or cond_mod.make_placeholders(
@@ -435,13 +437,33 @@ class AdaPromptTrainer:
                  "subj_rows": cbatch["subj_rows"], "subj_pos4": cbatch["subj_pos4"],
                  "cls_pos": cbatch["cls_pos"],
                  "subj_pos_host": tuple(cbatch["subj_pos_host"]),
-                 "skip_weights": cbatch["skip_weights"]}
+                 "skip_weights": cbatch["skip_weights"],
+                 # 50% coin: affine-free LN on mix-loss outfeats
+                 # (ddpm.py:3371-3384)
+                 "normalize_outfeat": jnp.asarray(
+                     float(self.rng.random() < 0.5), jnp.float32)}
         self.state, metrics, x_recon = self._compos_phase(self.state, batch,
                                                           self._next_key())
         self._cached_inits.put(name, np.asarray(x_recon), np.asarray(t))
         metrics = dict(metrics)
+        self._update_q_bn_stats(metrics.pop("q_bn_stats", {}))
         metrics["iter_type"] = "compos_distill"
         return metrics
+
+    def _update_q_bn_stats(self, batch_stats: dict, momentum: float = 0.1):
+        """ca_q_bns bookkeeping (embedding_manager.py:1205-1215): affine-free
+        BatchNorms whose running stats are saved in checkpoints. The
+        normalization itself happens with batch stats inside the jitted
+        compos loss; here we fold the returned batch stats into running
+        mean/var with torch's default momentum."""
+        for li, (m, v) in batch_stats.items():
+            m, v = np.asarray(m), np.asarray(v)
+            ent = self.ca_q_bn_stats.get(li)
+            if ent is None:
+                self.ca_q_bn_stats[li] = {"mean": m, "var": v}
+            else:
+                ent["mean"] = (1 - momentum) * ent["mean"] + momentum * m
+                ent["var"] = (1 - momentum) * ent["var"] + momentum * v
 
     def train_step(self, step_idx: int) -> dict:
         raw = next(self.batch_iterator)
@@ -533,7 +555,13 @@ class AdaPromptTrainer:
 
     def save_checkpoint(self, step: int):
         path = os.path.join(self.cfg.out_dir, f"embeddings_gs-{step}.npz")
-        ckpt_mod.save_checkpoint(path, {"subj_basis": self.state.params["subj_basis"]},
+        trees = {"subj_basis": self.state.params["subj_basis"]}
+        if self.ca_q_bn_stats:
+            # saved alongside, like the reference's ckpt["ca_q_bns"]
+            # (embedding_manager.py:1824-1838)
+            trees["ca_q_bns"] = {str(li): dict(v)
+                                 for li, v in self.ca_q_bn_stats.items()}
+        ckpt_mod.save_checkpoint(path, trees,
                                  meta={"step": step,
                                        "placeholder": self.subject_spec.string})
         return path
@@ -542,6 +570,10 @@ class AdaPromptTrainer:
         trees, meta = ckpt_mod.load_checkpoint(path)
         params = dict(self.state.params)
         params["subj_basis"] = trees["subj_basis"]
+        if "ca_q_bns" in trees:
+            self.ca_q_bn_stats = {int(li): {k: np.asarray(a)
+                                            for k, a in v.items()}
+                                  for li, v in trees["ca_q_bns"].items()}
         self.state = steps_mod.create_train_state(params, self.optimizer)
         return meta
 

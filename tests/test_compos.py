@@ -86,6 +86,18 @@ def test_calc_prompt_mix_loss_parity():
     for r, g in zip(ref, got):
         np.testing.assert_allclose(float(g), float(r), atol=1e-4, rtol=1e-3)
 
+    # normalize_outfeat=1: affine-free LN on outfeats (ddpm.py:3379-3384)
+    ca_outfeat_lns = {str(li): torch.nn.LayerNorm(ch[li],
+                                                  elementwise_affine=False)
+                      for li in layers}
+    with torch.no_grad():
+        ref_n = ddpm_mod.LatentDiffusion.calc_prompt_mix_loss(
+            None, outfeats_t, ca_outfeat_lns, attns_t, fg_indices_2b, 1)
+    got_n = jc.calc_prompt_mix_loss(outfeats_j, attns_j, SUBJ_POS, 1,
+                                    normalize_outfeat=1.0)
+    for r, g in zip(ref_n, got_n):
+        np.testing.assert_allclose(float(g), float(r), atol=1e-4, rtol=1e-3)
+
 
 def test_clip_teachability():
     import numpy as np

@@ -63,7 +63,34 @@ def test_comp_fg_bg_preserve_loss_parity():
         ref = ddpm_mod.LatentDiffusion.calc_comp_fg_bg_preserve_loss(
             None, outfeats_t, None, qs_t, None, attns_t,
             torch.tensor(fg[:, None]), torch.tensor([1.0]), subj_indices, 1)
-    got = je.calc_comp_fg_bg_preserve_loss(
-        outfeats_j, qs_j, attns_j, jnp.asarray(fg[..., None]), SUBJ_POS, 1)
+    got, stats = je.calc_comp_fg_bg_preserve_loss(
+        outfeats_j, qs_j, attns_j, jnp.asarray(fg[..., None]), SUBJ_POS, 1,
+        normalize_q_outfeat=False)
+    assert not stats
     for r, g in zip(ref, got):
         np.testing.assert_allclose(float(g), float(r), atol=1e-4, rtol=2e-3)
+
+    # normalized variant: ca_q_bns (train-mode affine-free BatchNorm) +
+    # ca_outfeat_lns (affine-free LayerNorm), ddpm.py:3295-3300
+    ca_q_bns = {str(li): torch.nn.BatchNorm2d(ch[li], affine=False)
+                for li in layers}
+    ca_outfeat_lns = {str(li): torch.nn.LayerNorm(ch[li],
+                                                  elementwise_affine=False)
+                      for li in layers}
+    with torch.no_grad():
+        ref_n = ddpm_mod.LatentDiffusion.calc_comp_fg_bg_preserve_loss(
+            None, outfeats_t, ca_outfeat_lns, qs_t, ca_q_bns, attns_t,
+            torch.tensor(fg[:, None]), torch.tensor([1.0]), subj_indices, 1)
+    got_n, stats = je.calc_comp_fg_bg_preserve_loss(
+        outfeats_j, qs_j, attns_j, jnp.asarray(fg[..., None]), SUBJ_POS, 1,
+        normalize_q_outfeat=True)
+    for r, g in zip(ref_n, got_n):
+        np.testing.assert_allclose(float(g), float(r), atol=1e-4, rtol=2e-3)
+    # exported batch stats match the torch BNs' updated running stats
+    # (momentum 0.1 from a fresh init: running = 0.9*init + 0.1*batch)
+    for li in layers:
+        m, v = np.asarray(stats[li][0]), np.asarray(stats[li][1])
+        np.testing.assert_allclose(ca_q_bns[str(li)].running_mean.numpy(),
+                                   0.1 * m, atol=1e-5)
+        np.testing.assert_allclose(ca_q_bns[str(li)].running_var.numpy(),
+                                   0.9 + 0.1 * v, atol=1e-5, rtol=1e-4)

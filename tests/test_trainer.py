@@ -74,6 +74,11 @@ def test_trainer_two_steps(subject_tree, tmp_path):
         loss = m.get("loss_recon",
                      m.get("loss_arc2face_distill", m.get("loss_compos")))
         assert np.isfinite(loss), m
+        # grads must be finite too — a NaN here poisons Prodigy state for
+        # every later step (regression: zero delta rows used to NaN the
+        # cosine-loss backward)
+        if "grad_norm" in m:
+            assert np.isfinite(float(m["grad_norm"])), m
         seen.add(m["iter_type"])
     assert "compos_distill" in seen  # step 2 is a compositional iter
 

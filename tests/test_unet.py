@@ -157,3 +157,25 @@ def test_timestep_embedding_parity():
     ref = util.timestep_embedding(t, 320).numpy()
     got = junet.timestep_embedding(jnp.asarray(t.numpy()), 320)
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
+
+
+def test_precompute_cross_kv_equivalence(tiny_pair):
+    """Hoisted K/V projections (sampler-loop optimization) must reproduce
+    the in-graph projections exactly, for shared and layerwise contexts."""
+    _, cfg, params = tiny_pair
+    x, t, ctx = _inputs(seed=11)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    ctxj = jnp.asarray(ctx)
+    base = junet.forward(params, xj, jnp.asarray(t), ctxj, cfg=cfg)
+    kv = junet.precompute_cross_kv(params, ctxj, cfg=cfg)
+    got = junet.forward(params, xj, jnp.asarray(t), ctxj, cross_kv=kv, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-6)
+
+    rng = np.random.default_rng(12)
+    lw = jnp.asarray(rng.standard_normal((16,) + ctx.shape), jnp.float32)
+    base_lw = junet.forward(params, xj, jnp.asarray(t), lw, cfg=cfg)
+    kv_lw = junet.precompute_cross_kv(params, lw, cfg=cfg)
+    got_lw = junet.forward(params, xj, jnp.asarray(t), lw, cross_kv=kv_lw,
+                           cfg=cfg)
+    np.testing.assert_allclose(np.asarray(got_lw), np.asarray(base_lw),
+                               atol=1e-6)

@@ -29,6 +29,12 @@ def make_mesh(n_devices: int | None = None, fsdp: int = 1,
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"requested a {n_devices}-device mesh but only {len(devices)} "
+            f"devices are visible ({[d.platform for d in devices]}); for CPU "
+            "test meshes set XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{n_devices} before jax initializes, or pass devices= explicitly")
     devices = np.asarray(devices[:n_devices])
     assert n_devices % fsdp == 0, (n_devices, fsdp)
     dp = n_devices // fsdp

@@ -60,7 +60,7 @@ def _clean(text: str) -> str:
 
 class CLIPTokenizer:
     def __init__(self, vocab: dict[str, int], merges: list[tuple[str, str]],
-                 is_fallback: bool = False):
+                 is_fallback: bool = False, base_size: int | None = None):
         self.encoder = dict(vocab)
         self.decoder = {v: k for k, v in self.encoder.items()}
         self.bpe_ranks = {m: i for i, m in enumerate(merges)}
@@ -72,7 +72,7 @@ class CLIPTokenizer:
         self.added_tokens: dict[str, int] = {}
         self.bos_id = self.encoder.get("<|startoftext|>", BOS_ID)
         self.eos_id = self.encoder.get("<|endoftext|>", EOS_ID)
-        self._base_size = max(VOCAB_SIZE, max(self.encoder.values()) + 1)
+        self._base_size = base_size or max(VOCAB_SIZE, max(self.encoder.values()) + 1)
 
     # -- loading ------------------------------------------------------------
 
@@ -104,6 +104,21 @@ class CLIPTokenizer:
         vocab["<|startoftext|>"] = BOS_ID
         vocab["<|endoftext|>"] = EOS_ID
         return cls(vocab, [], is_fallback=True)
+
+    @classmethod
+    def tiny(cls) -> "CLIPTokenizer":
+        """Char-level vocab with a COMPACT id space (bos=512, eos=513,
+        vocab_size 514). For tests/dryruns where a 49408-row embedding
+        table would dominate memory/collective traffic; ids are NOT
+        CLIP-compatible."""
+        chars = list(bytes_to_unicode().values())
+        vocab = {}
+        for i, c in enumerate(chars):
+            vocab[c] = i
+            vocab[c + "</w>"] = i + len(chars)
+        vocab["<|startoftext|>"] = 2 * len(chars)
+        vocab["<|endoftext|>"] = 2 * len(chars) + 1
+        return cls(vocab, [], is_fallback=True, base_size=2 * len(chars) + 2)
 
     @classmethod
     def load(cls, asset_dir: str | None = None) -> "CLIPTokenizer":

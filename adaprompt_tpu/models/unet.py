@@ -413,14 +413,18 @@ def _resblock(p: dict, x: jax.Array, emb: jax.Array,
 
 def _cross_attention(p: dict, x: jax.Array, ctx_v: jax.Array, ctx_k: jax.Array,
                      num_heads: int, self_mask: jax.Array | None = None,
-                     capture: bool = False, kv=None):
+                     capture: bool = False, kv=None,
+                     conv_attn: dict | None = None,
+                     infeat_size: tuple | None = None):
     """LDM CrossAttention (attention.py:147-257) with separate V/K contexts.
 
     x: [B, N, C]; ctx_*: [B, S, Dctx]. self_mask: [B, N] key mask (1=keep)
     applied only for self-attention (img_mask semantics). kv: optional
     precomputed ([B,S,H,hd], [B,S,H,hd]) K/V — the context is constant
     across DDIM steps, so samplers hoist these projections out of the scan
-    (precompute_cross_kv).
+    (precompute_cross_kv). conv_attn (cross-attention only): the subject-row
+    conv-attn replacement (attention.py:208-216 / ldm/util.py:700-881),
+    dict(subj_pos [BS, M], kernel_size int, mix_weight float).
     Returns out [B, N, C] and, when capture, dict(q, attn, attnscore) in the
     reference's cached_activations layout ([B, H, ...], q scaled by
     sqrt(scale)).
@@ -437,26 +441,40 @@ def _cross_attention(p: dict, x: jax.Array, ctx_v: jax.Array, ctx_k: jax.Array,
         k = linear(ctx_k, p["to_k"]["kernel"]).reshape(b, -1, num_heads, hd)
         v = linear(ctx_v, p["to_v"]["kernel"]).reshape(b, -1, num_heads, hd)
 
-    mask = None
+    key_bias = None
     if self_mask is not None:
-        neg = jnp.finfo(jnp.float32).max
-        mask = (1.0 - self_mask[:, None, None, :]) * (-neg)
+        # additive per-key bias (1=keep -> 0, 0=drop -> -1e9); the flash
+        # kernel consumes it directly so masked training stays on Pallas
+        from adaprompt_tpu.ops.attention import NEG_BIG
+        key_bias = (self_mask.astype(jnp.float32) - 1.0) * (-NEG_BIG)
 
-    if capture:
+    use_conv_attn = (conv_attn is not None
+                     and conv_attn.get("kernel_size", 0) > 1)
+    if capture or use_conv_attn:
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-        if mask is not None:
-            logits = logits + mask
+        if key_bias is not None:
+            logits = logits + key_bias[:, None, None, :]
+        if use_conv_attn:
+            from adaprompt_tpu.ops.conv_attn import replace_rows_by_conv_attn
+            logits = replace_rows_by_conv_attn(
+                logits, q.transpose(0, 2, 1, 3).astype(jnp.float32),
+                k.transpose(0, 2, 1, 3).astype(jnp.float32),
+                conv_attn["subj_pos"], infeat_size,
+                conv_attn["kernel_size"], scale,
+                conv_attn_mix_weight=conv_attn.get("mix_weight", 1.0))
         probs = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v).reshape(b, n, c)
         out = linear(out, p["to_out"]["kernel"], p["to_out"]["bias"])
-        cached = {
-            "q": q.transpose(0, 2, 1, 3) * math.sqrt(scale),
-            "attn": probs,
-            "attnscore": logits,
-        }
+        cached = None
+        if capture:
+            cached = {
+                "q": q.transpose(0, 2, 1, 3) * math.sqrt(scale),
+                "attn": probs,
+                "attnscore": logits,
+            }
         return out, cached
 
-    out = dot_product_attention(q, k, v, mask=mask, scale=scale)
+    out = dot_product_attention(q, k, v, key_bias=key_bias, scale=scale)
     out = linear(out.reshape(b, n, c), p["to_out"]["kernel"], p["to_out"]["bias"])
     return out, None
 
@@ -469,7 +487,8 @@ def _geglu_ff(p: dict, x: jax.Array) -> jax.Array:
 
 
 def _spatial_transformer(p: dict, x: jax.Array, ctx_v, ctx_k, num_heads: int,
-                         img_mask=None, capture: bool = False, kv=None):
+                         img_mask=None, capture: bool = False, kv=None,
+                         conv_attn: dict | None = None):
     b, h, w, c = x.shape
     x_in = x
     y = group_norm(x, p["norm"]["scale"], p["norm"]["bias"], eps=1e-6)
@@ -488,7 +507,8 @@ def _spatial_transformer(p: dict, x: jax.Array, ctx_v, ctx_k, num_heads: int,
     y = y + a1
     a2, cached = _cross_attention(bp["attn2"], layer_norm(y, bp["norm2"]["scale"], bp["norm2"]["bias"]),
                                   ctx_v, ctx_k, num_heads, capture=capture,
-                                  kv=kv)
+                                  kv=kv, conv_attn=conv_attn,
+                                  infeat_size=(h, w))
     y = y + a2
     y = y + _geglu_ff(bp["ff"], layer_norm(y, bp["norm3"]["scale"], bp["norm3"]["bias"]))
 
@@ -502,6 +522,7 @@ def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array
             img_mask: jax.Array | None = None,
             capture_ca: bool = False,
             cross_kv: dict | None = None,
+            conv_attn: dict | None = None,
             cfg: UNetConfig = SD15_UNET_CONFIG):
     """Predict epsilon.
 
@@ -516,6 +537,11 @@ def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array
         self-attention keys (openaimodel img_mask -> attention.py:223-232).
       capture_ca: capture per-CA-layer activations {outfeat, attn, attnscore,
         q} for the distill layers (openaimodel.py:947-952, 984-1034).
+      conv_attn: subject-row conv-attn replacement in cross-attention
+        (set_cross_attn_flags 'use_conv_attn_kernel_size',
+        openaimodel.py:723-824 + attention.py:208-216):
+        dict(subj_pos [BS, M] traced token positions, kernel_size int or
+        {layer_idx: int} layerwise, mix_weight float=1).
 
     Returns eps [B, H, W, 4] or (eps, ca_activations dict keyed
     'q'/'attn'/'attnscore'/'outfeat' -> {layer_idx: array}).
@@ -544,26 +570,64 @@ def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array
         i = min(ca, L - 1)
         return context[i], context_k[i]
 
-    def run_block(bp, entry, h, layer_idx):
-        if "conv" in bp:
-            return conv2d(h, bp["conv"]["kernel"], bp["conv"]["bias"])
-        if "downsample" in bp:
-            return conv2d(h, bp["downsample"]["kernel"], bp["downsample"]["bias"],
-                          stride=2, padding=1)
-        h = _resblock(bp["res"], h, emb, cfg.fused_conv)
-        if "attn" in bp:
-            cv, ck = ctx_for(layer_idx)
-            cap = capture_ca and layer_idx in DISTILL_LAYER_INDICES
-            kv = cross_kv.get(layer_idx) if cross_kv is not None else None
-            h, cached = _spatial_transformer(bp["attn"], h, cv, ck, cfg.num_heads,
-                                             img_mask=img_mask, capture=cap,
-                                             kv=kv)
-            if cap:
+    def conv_attn_for(layer_idx):
+        if conv_attn is None:
+            return None
+        ks = conv_attn.get("kernel_size", 0)
+        if isinstance(ks, dict):
+            ks = ks.get(layer_idx, 0)
+        elif ks > 0 and l2ca.get(layer_idx) in (6, 7, 8, 9, 10):
+            # the reference disables conv attn on CA layers 6-10 (layers
+            # 12,16..19 — 8x8-32x32 maps too small for a 3x3 conv head),
+            # openaimodel.py:922-932
+            ks = 1
+        if ks <= 1:
+            return None
+        return {**conv_attn, "kernel_size": ks}
+
+    def make_block_fn(entry, layer_idx, cap):
+        """Pure per-block fn (h, cached|None) = f(bp, h, emb, cv, ck, mask,
+        kv, cattn) so jax.checkpoint can wrap it: captured activations are
+        OUTPUTS, not side effects (side effects would leak recompute-trace
+        tracers)."""
+        def block_fn(bp, h, emb, cv, ck, mask, kv, cattn):
+            if "conv" in bp:
+                return conv2d(h, bp["conv"]["kernel"], bp["conv"]["bias"]), None
+            if "downsample" in bp:
+                return conv2d(h, bp["downsample"]["kernel"], bp["downsample"]["bias"],
+                              stride=2, padding=1), None
+            h = _resblock(bp["res"], h, emb, cfg.fused_conv)
+            cached = None
+            if "attn" in bp:
+                h, cached = _spatial_transformer(bp["attn"], h, cv, ck,
+                                                 cfg.num_heads, img_mask=mask,
+                                                 capture=cap, kv=kv,
+                                                 conv_attn=cattn)
+            if "upsample" in bp:
+                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+                h = conv2d(h, bp["upsample"]["kernel"], bp["upsample"]["bias"])
+            if cap and cached is not None:
+                # outfeat AFTER the whole output block incl. Upsample
+                # (openaimodel.py: h = module(...) then outfeat = h;
+                #  distill losses resize it back, ddpm.py:4445-4447)
                 cached["outfeat"] = h
-                captures[layer_idx] = cached
-        if "upsample" in bp:
-            h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-            h = conv2d(h, bp["upsample"]["kernel"], bp["upsample"]["bias"])
+            return h, cached
+        if cfg.use_checkpoint:
+            # block-level gradient rematerialization (openaimodel.py
+            # use_checkpoint, v1-finetune-ada.yaml:121); identity when the
+            # graph is not differentiated
+            block_fn = jax.checkpoint(block_fn)
+        return block_fn
+
+    def run_block(bp, entry, h, layer_idx):
+        cap = (capture_ca and "attn" in bp
+               and layer_idx in DISTILL_LAYER_INDICES)
+        cv, ck = ctx_for(layer_idx)
+        kv = cross_kv.get(layer_idx) if cross_kv is not None else None
+        h, cached = make_block_fn(entry, layer_idx, cap)(
+            bp, h, emb, cv, ck, img_mask, kv, conv_attn_for(layer_idx))
+        if cached is not None:
+            captures[layer_idx] = cached
         return h
 
     hs = []
@@ -574,16 +638,24 @@ def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array
         hs.append(h)
         layer_idx += 1
 
-    mb = params["middle_block"]
-    h = _resblock(mb["res1"], h, emb, cfg.fused_conv)
+    def mid_fn(mb, h, emb, cv, ck, mask, kv, cattn):
+        h = _resblock(mb["res1"], h, emb, cfg.fused_conv)
+        h, cached = _spatial_transformer(mb["attn"], h, cv, ck, cfg.num_heads,
+                                         img_mask=mask, capture=mid_cap, kv=kv,
+                                         conv_attn=cattn)
+        h = _resblock(mb["res2"], h, emb, cfg.fused_conv)
+        if mid_cap and cached is not None:
+            cached["outfeat"] = h
+        return h, cached
+
+    mid_cap = capture_ca and layer_idx in DISTILL_LAYER_INDICES
     cv, ck = ctx_for(layer_idx)
-    cap = capture_ca and layer_idx in DISTILL_LAYER_INDICES
     kv = cross_kv.get(layer_idx) if cross_kv is not None else None
-    h, cached = _spatial_transformer(mb["attn"], h, cv, ck, cfg.num_heads,
-                                     img_mask=img_mask, capture=cap, kv=kv)
-    h = _resblock(mb["res2"], h, emb, cfg.fused_conv)
-    if cap:
-        cached["outfeat"] = h
+    if cfg.use_checkpoint:
+        mid_fn = jax.checkpoint(mid_fn)
+    h, cached = mid_fn(params["middle_block"], h, emb, cv, ck, img_mask, kv,
+                       conv_attn_for(layer_idx))
+    if cached is not None:
         captures[layer_idx] = cached
     layer_idx += 1
 

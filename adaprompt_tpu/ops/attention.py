@@ -7,9 +7,20 @@ SubjBasisGenerator perceiver/cross-attn, DINO, ArcFace has none).
 Two execution paths with identical semantics:
   * `_attention_xla`: plain jnp einsum chain. XLA:TPU fuses the softmax into
     the matmuls well at the 77-token text lengths; also the CPU-test path.
-  * `_attention_pallas`: a Pallas flash-attention kernel used for the UNet's
+  * `flash_attention`: a Pallas flash-attention kernel used for the UNet's
     big self-attention (up to 4096 image tokens at 64x64 latents) where
     materializing the [B*H, 4096, 4096] score matrix would blow HBM traffic.
+    Differentiable: a custom_vjp with Pallas backward kernels (dQ pass +
+    dK/dV pass over saved logsumexp), so every train step can run the flash
+    path at 512px production resolution.
+
+Masking:
+  * `mask`: arbitrary additive mask broadcastable to [B, H, Sq, Sk] —
+    XLA path only (causal text masks are 77 tokens, never hot).
+  * `key_bias`: additive per-key bias [B, Sk] (the UNet img_mask semantics,
+    /root/reference/ldm/modules/attention.py:223-232 where the fg mask
+    drops padded border keys) — supported by BOTH paths, so masked
+    self-attention still runs the flash kernel during training.
 
 The reference computes softmax((q*s)(k*s)^T)v with s = d^-0.25
 (/root/reference/ldm/modules/attention.py:236-241,
@@ -25,12 +36,15 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _FLASH_MIN_Q = 512  # below this, the XLA path is faster than kernel launch overhead
+NEG_BIG = -1e9      # masked-key bias; finite so exp arithmetic stays NaN-free
 
 
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           mask: jax.Array | None = None,
+                          key_bias: jax.Array | None = None,
                           scale: float | None = None,
                           use_flash: bool | None = None) -> jax.Array:
     """Multi-head attention.
@@ -40,10 +54,12 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
       k: [B, Sk, H, D]
       v: [B, Sk, H, Dv]
       mask: optional additive mask broadcastable to [B, H, Sq, Sk]
-        (use -inf/-1e9 for masked pairs), e.g. a causal mask.
+        (use -1e9 for masked pairs), e.g. a causal mask. XLA path only.
+      key_bias: optional additive per-key bias [B, Sk] (img_mask semantics);
+        works on both paths.
       scale: defaults to D**-0.5.
       use_flash: force/forbid the Pallas kernel; default = auto (TPU and
-        Sq >= 512 and no mask).
+        Sq >= 512 and no full mask).
 
     Returns: [B, Sq, H, Dv]
     """
@@ -56,27 +72,40 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             and jax.default_backend() not in ("cpu",)
         )
     if use_flash:
-        return _attention_flash(q, k, v, scale)
-    return _attention_xla(q, k, v, mask, scale)
+        return flash_attention(q, k, v, key_bias, scale)
+    return _attention_xla(q, k, v, mask, key_bias, scale)
 
 
-def _attention_xla(q, k, v, mask, scale):
+def _attention_xla(q, k, v, mask, key_bias, scale):
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if mask is not None:
         logits = logits + mask.astype(logits.dtype)
+    if key_bias is not None:
+        logits = logits + key_bias.astype(logits.dtype)[:, None, None, :]
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
 # ---------------------------------------------------------------------------
-# Pallas flash attention (no-mask path; UNet self-attention over image tokens)
+# Pallas flash attention (key-bias path; UNet self-attention over image
+# tokens). Forward emits the logsumexp rows; backward is two Pallas kernels
+# (dQ gridded over q blocks, dK/dV gridded over k blocks) in the standard
+# FlashAttention-2 recomputation scheme.
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_k):
-    # Shapes per program: q_ref [block_q, D], k_ref [seq_k, D], v_ref [seq_k, Dv]
-    # Matmuls run on bf16 inputs with fp32 accumulation (full MXU rate);
-    # softmax statistics stay fp32.
+def _pick_block(n, target):
+    b = min(n, target)
+    while n % b:
+        b //= 2
+    return max(b, 1)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref, *,
+                scale, block_k, seq_k, has_bias):
+    # Per program: q_ref [block_q, D]; k_ref [seq_k, D]; v_ref [seq_k, Dv];
+    # b_ref [1, seq_k]. Matmuls run on bf16 inputs with fp32 accumulation
+    # (full MXU rate); softmax statistics stay fp32.
     q = q_ref[:]
     block_q, d = q.shape
     dv = v_ref.shape[-1]
@@ -86,6 +115,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_k):
         k_blk = k_ref[pl.ds(i * block_k, block_k), :]
         v_blk = v_ref[pl.ds(i * block_k, block_k), :]
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+        if has_bias:
+            s = s + b_ref[0, pl.ds(i * block_k, block_k)][None, :]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
@@ -99,44 +130,222 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_k):
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     acc0 = jnp.zeros((block_q, dv), jnp.float32)
     num_k_blocks = seq_k // block_k
-    m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
+    if num_k_blocks == 1:
+        # single K pass: skip the online-softmax rescale traffic entirely
+        m, l, acc = body(0, (m0, l0, acc0))
+    else:
+        m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
     o_ref[:] = (acc / l).astype(o_ref.dtype)
+    lse_ref[:] = m + jnp.log(l)          # [block_q, 1]
 
 
-def _pick_block(n, target):
-    b = min(n, target)
-    while n % b:
-        b //= 2
-    return max(b, 1)
+def _dq_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, dl_ref, dq_ref, *,
+               scale, block_k, seq_k, has_bias):
+    q = q_ref[:]
+    do = do_ref[:]
+    lse = lse_ref[:]          # [block_q, 1]
+    delta = dl_ref[:]         # [block_q, 1]
+    block_q, d = q.shape
+
+    def body(i, acc):
+        k_blk = k_ref[pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[pl.ds(i * block_k, block_k), :]
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+        if has_bias:
+            s = s + b_ref[0, pl.ds(i * block_k, block_k)][None, :]
+        p = jnp.exp(s - lse)
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        return acc + jnp.dot(ds.astype(k_blk.dtype), k_blk,
+                             preferred_element_type=jnp.float32)
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    acc = jax.lax.fori_loop(0, seq_k // block_k, body, acc0)
+    dq_ref[:] = acc.astype(dq_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
-def _attention_flash(q, k, v, scale):
+def _dkv_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, dl_ref,
+                dk_ref, dv_ref, *, scale, block_q, seq_q, has_bias):
+    k_blk = k_ref[:]
+    v_blk = v_ref[:]
+    block_k, d = k_blk.shape
+    dv_dim = v_blk.shape[-1]
+    bias = b_ref[0, :][None, :] if has_bias else None
+
+    def body(i, carry):
+        acc_dk, acc_dv = carry
+        q_i = q_ref[pl.ds(i * block_q, block_q), :]
+        do_i = do_ref[pl.ds(i * block_q, block_q), :]
+        lse_i = lse_ref[pl.ds(i * block_q, block_q), :]   # [bq, 1]
+        dl_i = dl_ref[pl.ds(i * block_q, block_q), :]
+        s = jnp.dot(q_i, k_blk.T, preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+            s = s + bias
+        p = jnp.exp(s - lse_i)
+        # dv += p^T do   (contract over the q dim, no explicit transpose)
+        acc_dv = acc_dv + jax.lax.dot_general(
+            p.astype(do_i.dtype), do_i, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jnp.dot(do_i, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - dl_i) * scale
+        # dk += ds^T q
+        acc_dk = acc_dk + jax.lax.dot_general(
+            ds.astype(q_i.dtype), q_i, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc_dk, acc_dv
+
+    acc0 = (jnp.zeros((block_k, d), jnp.float32),
+            jnp.zeros((block_k, dv_dim), jnp.float32))
+    acc_dk, acc_dv = jax.lax.fori_loop(0, seq_q // block_q, body, acc0)
+    dk_ref[:] = acc_dk.astype(dk_ref.dtype)
+    dv_ref[:] = acc_dv.astype(dv_ref.dtype)
+
+
+def _fold_heads(x):
+    b, s, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+
+def _flash_fwd_impl(q, k, v, bias, scale, *, interpret=False):
     b, sq, h, d = q.shape
     sk = k.shape[1]
     dv = v.shape[-1]
-    # Fold batch and heads into the grid; each program handles one q block.
-    qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
-    vf = v.transpose(0, 2, 1, 3).reshape(b * h, sk, dv)
+    has_bias = bias is not None
+    # bias lives as [B, 1, Sk] so its block's last-two dims (1, Sk) tile
+    bias = (bias.astype(jnp.float32)[:, None, :] if has_bias
+            else jnp.zeros((1, 1, 1), jnp.float32))  # dummy, never read
+    qf, kf, vf = _fold_heads(q), _fold_heads(k), _fold_heads(v)
 
     # single K pass when K fits VMEM comfortably (<=4096) — avoids the
     # online-softmax rescale traffic; otherwise stream 1024-blocks
     block_q = _pick_block(sq, 256 if sk >= 4096 else 512)
     block_k = _pick_block(sk, 4096)
 
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=block_k, seq_k=sk),
+    bias_spec = (pl.BlockSpec((None, 1, sk), lambda i, j: (i // h, 0, 0))
+                 if has_bias else
+                 pl.BlockSpec((None, 1, 1), lambda i, j: (0, 0, 0)))
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, block_k=block_k,
+                          seq_k=sk, has_bias=has_bias),
         grid=(b * h, sq // block_q),
         in_specs=[
             pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((None, sk, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((None, sk, dv), lambda i, j: (i, 0, 0)),
+            bias_spec,
         ],
-        out_specs=pl.BlockSpec((None, block_q, dv), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq, dv), q.dtype),
-    )(qf, kf, vf)
-    return out.reshape(b, h, sq, dv).transpose(0, 2, 1, 3)
+        out_specs=[
+            pl.BlockSpec((None, block_q, dv), lambda i, j: (i, j, 0)),
+            # lse rows live as [bh, sq, 1]: the trailing singleton keeps the
+            # block's last-two dims (block_q, 1) Mosaic-tileable
+            pl.BlockSpec((None, block_q, 1), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sq, dv), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, bias)
+    return out.reshape(b, h, sq, dv).transpose(0, 2, 1, 3), lse
+
+
+def _flash_bwd_impl(q, k, v, bias, out, lse, g, scale, *, interpret=False):
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    dv = v.shape[-1]
+    has_bias = bias is not None
+    bias_arr = (bias.astype(jnp.float32)[:, None, :] if has_bias
+                else jnp.zeros((1, 1, 1), jnp.float32))
+
+    qf, kf, vf = _fold_heads(q), _fold_heads(k), _fold_heads(v)
+    dof = _fold_heads(g)
+    of = _fold_heads(out)
+    delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32),
+                    axis=-1, keepdims=True)          # [bh, sq, 1]
+
+    block_q = _pick_block(sq, 256)
+    block_k_stream = _pick_block(sk, 2048)
+
+    bias_full = (pl.BlockSpec((None, 1, sk), lambda i, j: (i // h, 0, 0))
+                 if has_bias else
+                 pl.BlockSpec((None, 1, 1), lambda i, j: (0, 0, 0)))
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, block_k=block_k_stream,
+                          seq_k=sk, has_bias=has_bias),
+        grid=(b * h, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, sk, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, sk, dv), lambda i, j: (i, 0, 0)),
+            bias_full,
+            pl.BlockSpec((None, block_q, dv), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, block_q, 1), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, block_q, 1), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, bias_arr, dof, lse, delta)
+
+    block_k = _pick_block(sk, 256)
+    block_q_stream = _pick_block(sq, 2048)
+    bias_blk = (pl.BlockSpec((None, 1, block_k), lambda i, j: (i // h, 0, j))
+                if has_bias else
+                pl.BlockSpec((None, 1, 1), lambda i, j: (0, 0, 0)))
+    dk, dvv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, block_q=block_q_stream,
+                          seq_q=sq, has_bias=has_bias),
+        grid=(b * h, sk // block_k),
+        in_specs=[
+            pl.BlockSpec((None, sq, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, block_k, dv), lambda i, j: (i, j, 0)),
+            bias_blk,
+            pl.BlockSpec((None, sq, dv), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, sq, 1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, sq, 1), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, block_k, dv), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, sk, dv), v.dtype),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, bias_arr, dof, lse, delta)
+
+    unfold = lambda x, s: x.reshape(b, h, s, -1).transpose(0, 2, 1, 3)
+    dbias = jnp.zeros_like(bias) if has_bias else None
+    return unfold(dq, sq), unfold(dk, sk), unfold(dvv, sk), dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_attention(q, k, v, key_bias, scale, interpret=False):
+    """Flash attention with optional additive per-key bias [B, Sk].
+
+    q/k/v: [B, S, H, D]; returns [B, Sq, H, Dv]. Fully differentiable wrt
+    q, k, v (bias gets a zero gradient — it encodes a data mask).
+    `interpret=True` runs the Pallas kernels in interpreter mode (CPU tests).
+    """
+    out, _ = _flash_fwd_impl(q, k, v, key_bias, scale, interpret=interpret)
+    return out
+
+
+def _flash_vjp_fwd(q, k, v, key_bias, scale, interpret):
+    out, lse = _flash_fwd_impl(q, k, v, key_bias, scale, interpret=interpret)
+    return out, (q, k, v, key_bias, out, lse)
+
+
+def _flash_vjp_bwd(scale, interpret, res, g):
+    q, k, v, key_bias, out, lse = res
+    dq, dk, dv, dbias = _flash_bwd_impl(q, k, v, key_bias, out, lse, g, scale,
+                                        interpret=interpret)
+    return dq, dk, dv, dbias
+
+
+flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
 def causal_mask(seq_len: int, dtype=jnp.float32) -> jax.Array:

@@ -87,8 +87,10 @@ def make_recon_step(optimizer: optax.GradientTransformation,
         t = jax.random.randint(kt, (b,), 0, sched.num_timesteps)
         eps = jax.random.normal(kn, z0.shape, jnp.float32)
         z_t = q_sample(sched, z0, t, eps)
+        # aug_mask doubles as the self-attention key mask (ddpm.py:2871-2877)
         eps_pred = unet_mod.forward(params, z_t.astype(compute_dtype), t,
                                     batch["context"].astype(compute_dtype),
+                                    img_mask=batch.get("aug_mask"),
                                     cfg=unet_cfg)
         loss = masked_recon_loss(eps_pred, eps, batch.get("fg_mask"),
                                  batch.get("aug_mask"))
@@ -189,6 +191,7 @@ def make_arc2face_distill_step(optimizer: optax.GradientTransformation,
                 frozen.unet,
                 q_sample(sched, x0_s, ts[s], noises[s]).astype(compute_dtype),
                 ts[s], student_ctx[None].astype(compute_dtype),
+                img_mask=img_mask,
                 cfg=frozen.unet_cfg).astype(jnp.float32)
             # bg_pixel_weight=0: don't distill teacher-suppressed background
             # (ddpm.py:3017-3024)

@@ -1,0 +1,106 @@
+"""Flash-attention kernel parity: forward and VJP vs the XLA path.
+
+Runs the Pallas kernels in interpreter mode (CPU backend). On TPU the same
+kernels execute compiled; numerics are additionally exercised on-device by
+bench.py and the train steps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adaprompt_tpu.ops import attention as attn
+
+
+def _rand(key, *shape, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype)
+
+
+@pytest.mark.parametrize("sq,sk,h,d", [(512, 512, 2, 40), (1024, 77, 2, 40)])
+def test_flash_forward_matches_xla(sq, sk, h, d):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = _rand(ks[0], 1, sq, h, d)
+    k = _rand(ks[1], 1, sk, h, d)
+    v = _rand(ks[2], 1, sk, h, d)
+    scale = d ** -0.5
+    ref = attn._attention_xla(q, k, v, None, None, scale)
+    out = attn.flash_attention(q, k, v, None, scale, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_forward_key_bias():
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    b, sq, h, d = 2, 512, 2, 40
+    q = _rand(ks[0], b, sq, h, d)
+    k = _rand(ks[1], b, sq, h, d)
+    v = _rand(ks[2], b, sq, h, d)
+    keep = jax.random.bernoulli(ks[3], 0.7, (b, sq)).astype(jnp.float32)
+    bias = (keep - 1.0) * (-attn.NEG_BIG)
+    scale = d ** -0.5
+    ref = attn._attention_xla(q, k, v, None, bias, scale)
+    out = attn.flash_attention(q, k, v, bias, scale, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_flash_vjp_matches_xla(with_bias):
+    ks = jax.random.split(jax.random.PRNGKey(2), 5)
+    b, sq, h, d = 1, 512, 2, 40
+    q = _rand(ks[0], b, sq, h, d)
+    k = _rand(ks[1], b, sq, h, d)
+    v = _rand(ks[2], b, sq, h, d)
+    if with_bias:
+        keep = jax.random.bernoulli(ks[3], 0.8, (b, sq)).astype(jnp.float32)
+        bias = (keep - 1.0) * (-attn.NEG_BIG)
+    else:
+        bias = None
+    scale = d ** -0.5
+    g = _rand(ks[4], b, sq, h, d)
+
+    def f_ref(q, k, v):
+        return jnp.sum(attn._attention_xla(q, k, v, None, bias, scale) * g)
+
+    def f_flash(q, k, v):
+        return jnp.sum(attn.flash_attention(q, k, v, bias, scale, True) * g)
+
+    ref_grads = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    fl_grads = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, bgrad in zip(fl_grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bgrad),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_flash_vjp_bf16_inputs():
+    """Train steps run bf16; cotangents must come back bf16 without error."""
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    b, sq, h, d = 1, 512, 1, 40
+    q = _rand(ks[0], b, sq, h, d).astype(jnp.bfloat16)
+    k = _rand(ks[1], b, sq, h, d).astype(jnp.bfloat16)
+    v = _rand(ks[2], b, sq, h, d).astype(jnp.bfloat16)
+    scale = d ** -0.5
+
+    def f(q, k, v):
+        return jnp.sum(attn.flash_attention(q, k, v, None, scale, True)
+                       .astype(jnp.float32))
+
+    dq, dk, dv = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    assert dq.dtype == jnp.bfloat16 and dk.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(dq, np.float32)).all()
+
+
+def test_dot_product_attention_key_bias_xla():
+    """key_bias on the XLA path equals building the full additive mask."""
+    ks = jax.random.split(jax.random.PRNGKey(4), 4)
+    b, s, h, d = 2, 64, 2, 16
+    q = _rand(ks[0], b, s, h, d)
+    k = _rand(ks[1], b, s, h, d)
+    v = _rand(ks[2], b, s, h, d)
+    keep = jax.random.bernoulli(ks[3], 0.6, (b, s)).astype(jnp.float32)
+    bias = (keep - 1.0) * (-attn.NEG_BIG)
+    out = attn.dot_product_attention(q, k, v, key_bias=bias, use_flash=False)
+    ref = attn.dot_product_attention(
+        q, k, v, mask=bias[:, None, None, :], use_flash=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)

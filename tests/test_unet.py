@@ -179,3 +179,56 @@ def test_precompute_cross_kv_equivalence(tiny_pair):
                            cfg=cfg)
     np.testing.assert_allclose(np.asarray(got_lw), np.asarray(base_lw),
                                atol=1e-6)
+
+
+def test_conv_attn_forward_parity(tiny_pair):
+    """Subject-row conv-attn replacement inside the full UNet forward
+    (attention.py:208-216; openaimodel set_cross_attn_flags
+    use_conv_attn_kernel_size) vs the reference with the same flags."""
+    ref, cfg, params = tiny_pair
+    x, t, ctx = _inputs(seed=21)
+    ks = 2
+    m = ks * ks
+    pos = np.stack([np.arange(5, 5 + m), np.arange(5, 5 + m)])  # [B, M]
+    indices = (torch.tensor(np.repeat(np.arange(2), m)),
+               torch.tensor(pos.reshape(-1)))
+    ctx_ref = np.tile(ctx[:, None], (1, 16, 1, 1)).reshape(
+        2 * 16, 77, TINY["context_dim"])
+    with torch.no_grad():
+        out = ref(torch.tensor(x), timesteps=torch.tensor(t),
+                  context=torch.tensor(ctx_ref),
+                  extra_info=_extra_info(use_layerwise_context=True,
+                                         use_conv_attn_kernel_size=ks,
+                                         placeholder2indices={"z": indices}))
+    got = junet.forward(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                        jnp.asarray(t), jnp.asarray(ctx),
+                        conv_attn={"subj_pos": jnp.asarray(pos),
+                                   "kernel_size": ks, "mix_weight": 1.0},
+                        cfg=cfg)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                               out.numpy(), atol=3e-4, rtol=1e-3)
+
+
+def test_use_checkpoint_grad_parity(tiny_pair):
+    """Block-level remat (use_checkpoint) must not change forward values or
+    gradients — only memory. Also covers grads through captured activations."""
+    _, cfg, params = tiny_pair
+    import dataclasses as dc
+    cfg_ck = dc.replace(cfg, use_checkpoint=True)
+    x, t, ctx = _inputs(seed=22)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    ctxj = jnp.asarray(ctx)
+
+    def loss(p, c):
+        eps, caps = junet.forward(p, xj, jnp.asarray(t), ctxj, cfg=c,
+                                  capture_ca=True)
+        reg = sum(jnp.sum(v ** 2) for v in caps["attnscore"].values())
+        return jnp.sum(eps ** 2) * 1e-2 + reg * 1e-6
+
+    g_plain = jax.grad(lambda p: loss(p, cfg))(params)
+    g_ck = jax.grad(lambda p: loss(p, cfg_ck))(params)
+    flat_p, _ = jax.tree_util.tree_flatten(g_plain)
+    flat_c, _ = jax.tree_util.tree_flatten(g_ck)
+    for a, b in zip(flat_p, flat_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)

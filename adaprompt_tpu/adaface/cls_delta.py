@@ -82,6 +82,30 @@ def merge_cls_token_embeddings(prompt_embedding: jax.Array,
     return out
 
 
+def distribute_embedding_layerwise(ctx: jax.Array, rows, pos0: jax.Array,
+                                   k: int,
+                                   divide_scheme: str = "sqrt_M") -> jax.Array:
+    """Traced variant of distribute_embedding_to_M_tokens over layerwise
+    contexts: ctx [L, B, S, D]; `rows` are the (host-known) batch rows whose
+    placeholder starts at traced position pos0[r]; the embedding at pos0 is
+    spread over k consecutive slots / sqrt(k) (ldm/util.py:882-918 +
+    ddpm.py:2030-2050). Traced positions keep the compiled step reusable
+    across prompts whose cls token lands at different offsets."""
+    rows = np.asarray(rows)
+    m = len(rows)
+    L, _, S, D = ctx.shape
+    d = {"sqrt_M": np.sqrt(k), "M": float(k), "none": 1.0, None: 1.0}[divide_scheme]
+    sel = ctx[:, rows]                                       # [L, m, S, D]
+    idx0 = jnp.broadcast_to(pos0.reshape(1, m, 1, 1), (L, m, 1, D))
+    col0 = jnp.take_along_axis(sel, idx0, axis=2)            # [L, m, 1, D]
+    repl = jnp.broadcast_to(col0 / d, (L, m, k, D))
+    li = jnp.broadcast_to(jnp.arange(L)[:, None, None], (L, m, k))
+    bi = jnp.broadcast_to(jnp.asarray(rows)[None, :, None], (L, m, k))
+    pi = jnp.broadcast_to(pos0[None, :, None] + jnp.arange(k)[None, None],
+                          (L, m, k))
+    return ctx.at[li, bi, pi].set(repl.astype(ctx.dtype))
+
+
 def distribute_embedding_to_M_tokens(text_embedding: jax.Array,
                                      placeholder_pos,
                                      divide_scheme: str = "sqrt_M") -> jax.Array:

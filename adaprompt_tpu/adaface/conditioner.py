@@ -124,6 +124,18 @@ def encode_spliced(text_params: dict, ids: jax.Array, subj_splices: list,
     return enc.reshape(L, b, *enc.shape[1:])
 
 
+def add_noise_to_tensor(ts: jax.Array, key: jax.Array,
+                        noise_std: jax.Array) -> jax.Array:
+    """Relative-std gaussian noise (adaface/util.py:9-24,
+    noise_std_is_relative=True, keep_norm=False). `noise_std` is a traced
+    scalar — pass 0 to disable (the train loop samples the on/off coin and
+    the U(0.02, 0.04) std host-side, embedding_manager.py:1531-1541 +
+    yaml:98-103)."""
+    rel = jax.lax.stop_gradient(jnp.std(ts, axis=-1).mean())
+    noise = jax.random.normal(key, ts.shape, ts.dtype)
+    return ts + noise * (jnp.asarray(noise_std, ts.dtype) * rel)
+
+
 def add_noise_to_embedding(embs: jax.Array, key: jax.Array, noise_std_range,
                            training_percent: float, prob_mask: jax.Array) -> jax.Array:
     """Annealed relative-noise injection on subject embeddings

@@ -54,8 +54,11 @@ def main(argv=None):
 
     af_params = arcface.init_params(jax.random.PRNGKey(2))
     if args.arcface_ckpt:
-        from adaprompt_tpu.utils.torch_port import load_state_dict
-        af_params = arcface.from_torch(load_state_dict(args.arcface_ckpt))
+        if args.arcface_ckpt.endswith(".onnx"):
+            af_params = arcface.from_onnx(args.arcface_ckpt)
+        else:
+            from adaprompt_tpu.utils.torch_port import load_state_dict
+            af_params = arcface.from_torch(load_state_dict(args.arcface_ckpt))
     face_embedder = FaceSimilarityEvaluator(af_params)
 
     scorer = CLIPScorer.random_init(0, tokenizer=pipe.tokenizer)

@@ -1,15 +1,26 @@
 """Training CLI — role of /root/reference/main.py.
 
-Stage-1 example (Arc2Face distillation):
-  python -m adaprompt_tpu.cli.train --data_roots /data/vggface2 /data/ffhq \
+Stage-1 example (Arc2Face distillation, README.md:63):
+  python -m adaprompt_tpu.cli.train --stage 1 \
+      --data_roots /data/vggface2 /data/ffhq \
       --ckpt sd15.safetensors --arc2face_ckpt arc2face.safetensors \
-      --max_steps 120000 --bs 4 --accum 2 --arc2face_distill_iter_prob 1.0
+      --arcface_ckpt arcface_r100.pt --max_steps 120000 --bs 4
+
+Stage-2 example (compositional distillation, README.md:80):
+  python -m adaprompt_tpu.cli.train --stage 2 \
+      --data_roots ... --adaface_ckpt runs/s1/embeddings_gs-120000.npz \
+      --clip_ckpt clip-vit-b32.safetensors --max_steps 60000 --bs 3
+
+Signal handling (main.py:1183-1209): SIGUSR1 checkpoints and continues;
+KeyboardInterrupt / a crash checkpoints full trainer state before exiting
+(the reference's melk()).
 """
 
 from __future__ import annotations
 
 import argparse
 import os
+import signal
 
 import jax
 import jax.numpy as jnp
@@ -27,19 +38,38 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser()
     common.add_model_args(p)
     p.add_argument("--data_roots", type=str, nargs="+", required=True)
+    p.add_argument("--stage", type=int, default=1, choices=(1, 2),
+                   help="hyperparameter preset: 1 = Arc2Face distillation "
+                        "(README.md:63), 2 = compositional (README.md:80)")
     p.add_argument("--arc2face_ckpt", type=str, default=None,
                    help="arc2face UNet+text-encoder checkpoint")
+    p.add_argument("--arcface_ckpt", type=str, default=None,
+                   help="ArcFace IResNet-100 weights for REAL face identity "
+                        "embeddings (required unless --synthetic_faces)")
+    p.add_argument("--synthetic_faces", action="store_true",
+                   help="train on random face ids (smoke runs only; the "
+                        "reference's gen_arc2face_rand_face fallback)")
+    p.add_argument("--detector", type=str, default=None,
+                   help="face detector: 'center_crop' (default) or "
+                        "'cascade:<opencv_xml_path>'")
+    p.add_argument("--clip_ckpt", type=str, default=None,
+                   help="CLIP ViT-B/32 weights for compositional teacher "
+                        "filtering (do_clip_teacher_filtering)")
     p.add_argument("--adaface_ckpt", type=str, default=None,
                    help="resume the SubjBasisGenerator from this ckpt")
-    p.add_argument("--max_steps", type=int, default=120_000)
-    p.add_argument("--bs", type=int, default=4)
+    p.add_argument("--resume_state", type=str, default=None,
+                   help="full trainer_state-*.npz (params+optimizer+step)")
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--bs", type=int, default=None)
     p.add_argument("--accum", type=int, default=2)
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--optimizer", type=str, default="Prodigy")
-    p.add_argument("--d_coef", type=float, default=2.0)
-    p.add_argument("--warm_up_steps", type=int, default=500)
-    p.add_argument("--composition_regs_iter_gap", type=int, default=3)
-    p.add_argument("--arc2face_distill_iter_prob", type=float, default=0.1)
+    p.add_argument("--d_coef", type=float, default=None)
+    p.add_argument("--warm_up_steps", type=int, default=None)
+    p.add_argument("--composition_regs_iter_gap", type=int, default=None)
+    p.add_argument("--arc2face_distill_iter_prob", type=float, default=None)
+    p.add_argument("--max_num_denoising_steps", type=int, default=None)
+    p.add_argument("--num_candidate_teachers", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out_dir", type=str, default="runs/adaprompt")
     p.add_argument("--ckpt_every", type=int, default=500)
@@ -52,7 +82,28 @@ def parse_args(argv=None):
                    help="save a sample grid every N steps (ImageLogger role)")
     p.add_argument("--num_steps", type=int, default=None,
                    help="steps to run this invocation (default: max_steps)")
+    p.add_argument("--num_workers", type=int, default=2,
+                   help="data-loader worker threads (0 = synchronous)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of a few steps here")
     return p.parse_args(argv)
+
+
+def build_trainer_config(args) -> trainer_mod.TrainerConfig:
+    base = (trainer_mod.TrainerConfig() if args.stage == 1
+            else trainer_mod.TrainerConfig.stage2())
+    overrides = dict(
+        grad_accum=args.accum, optimizer_type=args.optimizer,
+        num_candidate_teachers=args.num_candidate_teachers,
+        seed=args.seed, ckpt_every=args.ckpt_every, out_dir=args.out_dir,
+        compute_dtype="bfloat16" if args.bf16 else "float32")
+    for name in ("max_steps", "d_coef", "warm_up_steps",
+                 "composition_regs_iter_gap", "arc2face_distill_iter_prob",
+                 "max_num_denoising_steps"):
+        v = getattr(args, name)
+        if v is not None:
+            overrides[name] = v
+    return trainer_mod.TrainerConfig(**{**base.__dict__, **overrides})
 
 
 def main(argv=None):
@@ -79,6 +130,41 @@ def main(argv=None):
     scfg = sbg.SubjBasisConfig(placeholder_is_bg=False, text_cfg=pipe.text_cfg)
     sbg_params = sbg.init_params(jax.random.PRNGKey(args.seed), scfg)
 
+    # real identity embeddings: ArcFace trunk on host-detected crops
+    # (get_arc2face_id_prompt_embs, adaface/util.py:242-341)
+    face_embedder = None
+    if args.arcface_ckpt:
+        from adaprompt_tpu.eval.face_eval import (FaceSimilarityEvaluator,
+                                                  make_detector)
+        from adaprompt_tpu.models import arcface
+        if args.arcface_ckpt.endswith(".onnx"):
+            # insightface antelopev2 glintr100.onnx, weights extracted
+            # without an ONNX runtime (utils/onnx_port.py)
+            af_params = arcface.from_onnx(args.arcface_ckpt)
+        else:
+            af_params = arcface.from_torch(
+                torch_port.load_state_dict(args.arcface_ckpt))
+        face_embedder = FaceSimilarityEvaluator(
+            af_params, detector=make_detector(args.detector))
+    elif not args.synthetic_faces:
+        raise SystemExit(
+            "--arcface_ckpt is required: without it every iteration distills "
+            "against a random identity. Pass --synthetic_faces to opt into "
+            "that for smoke tests.")
+
+    cfg = build_trainer_config(args)
+
+    # CLIP teacher filtering (do_clip_teacher_filtering, yaml:31)
+    clip_scorer = None
+    if cfg.composition_regs_iter_gap > 0:
+        if args.clip_ckpt:
+            from adaprompt_tpu.eval.clip_scorer import CLIPScorer
+            clip_scorer = CLIPScorer.from_torch(
+                torch_port.load_state_dict(args.clip_ckpt), tokenizer=tok)
+        else:
+            print("WARNING: no --clip_ckpt — teacher filtering disabled; "
+                  "every compositional iteration is treated as teachable.")
+
     subjects = ds.scan_subject_folders(args.data_roots)
     print(f"{len(subjects)} subjects, {sum(len(s.image_paths) for s in subjects)} images")
     overlay = None
@@ -90,28 +176,39 @@ def main(argv=None):
                                   num_vectors_per_subj_token=scfg.num_out_embs_per_layer,
                                   overlay_provider=overlay,
                                   overlay_prob=args.overlay_prob)
+    bs = args.bs or (4 if args.stage == 1 else 3)   # README.md:63, 80
     it = ds.make_batch_iterator(dset, ds.SubjectSampler(subjects, seed=args.seed),
-                                batch_size=args.bs)
-
-    cfg = trainer_mod.TrainerConfig(
-        max_steps=args.max_steps, grad_accum=args.accum,
-        optimizer_type=args.optimizer, d_coef=args.d_coef,
-        warm_up_steps=args.warm_up_steps,
-        composition_regs_iter_gap=args.composition_regs_iter_gap,
-        arc2face_distill_iter_prob=args.arc2face_distill_iter_prob,
-        seed=args.seed, ckpt_every=args.ckpt_every, out_dir=args.out_dir,
-        compute_dtype="bfloat16" if args.bf16 else "float32")
+                                batch_size=bs, num_workers=args.num_workers)
 
     tr = trainer_mod.AdaPromptTrainer(frozen, pipe.params.vae, pipe.vae_cfg,
-                                      tok, scfg, sbg_params, it, cfg)
-    if args.adaface_ckpt:
+                                      tok, scfg, sbg_params, it, cfg,
+                                      face_embedder=face_embedder,
+                                      clip_scorer=clip_scorer,
+                                      synthetic_faces=args.synthetic_faces)
+    start = 0
+    if args.resume_state:
+        meta = tr.load_full_state(args.resume_state)
+        start = int(meta["step"])
+        print(f"resumed full trainer state at step {start}")
+    elif args.adaface_ckpt:
         tr.load_checkpoint(args.adaface_ckpt)
 
-    import jax as _jax
     mesh = None
-    if len(_jax.devices()) > 1 or args.fsdp > 1:
+    if len(jax.devices()) > 1 or args.fsdp > 1:
         mesh = tr.distribute(fsdp=args.fsdp)
         print(f"training over mesh {dict(mesh.shape)}")
+
+    # SIGUSR1: checkpoint-and-continue (main.py:1183-1199)
+    state = {"step": start}
+
+    def _on_usr1(signum, frame):
+        path = tr.save_full_state(state["step"])
+        print(f"SIGUSR1: saved {path}")
+
+    try:
+        signal.signal(signal.SIGUSR1, _on_usr1)
+    except (ValueError, OSError):
+        pass  # non-main thread / platform without SIGUSR1
 
     import contextlib
     ctx = mesh or contextlib.nullcontext()
@@ -119,13 +216,25 @@ def main(argv=None):
         n = args.num_steps or cfg.max_steps
         import time as _time
         t0 = _time.time()
-        for i in range(n):
-            tr.train_step(i)
-            if args.sample_every and (i + 1) % args.sample_every == 0:
-                tr.log_samples(i + 1)
-            if (i + 1) % cfg.ckpt_every == 0 or i == n - 1:
-                tr.save_checkpoint(i + 1)
-        print(f"trained {n} steps in {_time.time() - t0:.1f}s")
+        try:
+            for i in range(start, n):
+                state["step"] = i
+                if args.profile_dir and i == start + 2:
+                    jax.profiler.start_trace(args.profile_dir)
+                m = tr.train_step(i)
+                if args.profile_dir and i == start + 4:
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace written to {args.profile_dir}")
+                if args.sample_every and (i + 1) % args.sample_every == 0:
+                    tr.log_samples(i + 1)
+                if (i + 1) % cfg.ckpt_every == 0 or i == n - 1:
+                    tr.save_checkpoint(i + 1)
+        except BaseException:
+            # melk(): checkpoint on interrupt/crash (main.py:1204-1209)
+            path = tr.save_full_state(state["step"])
+            print(f"interrupted: saved full trainer state to {path}")
+            raise
+        print(f"trained {n - start} steps in {_time.time() - t0:.1f}s")
 
 
 if __name__ == "__main__":

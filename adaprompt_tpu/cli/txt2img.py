@@ -42,6 +42,11 @@ def parse_args(argv=None):
     p.add_argument("--n_samples", type=int, default=4)
     p.add_argument("--ddim_steps", type=int, default=50)
     p.add_argument("--scale", type=float, nargs="+", default=[4.0, 1.0])
+    p.add_argument("--compel_cfg_weight_level", type=float, default=0.0,
+                   help="compel-style prompt weighting: push the cond "
+                        "embeddings away from the empty-prompt embeddings "
+                        "by 1.1**level (prob_apply_compel_cfg, "
+                        "ldm/util.py:1825-1857); 0 disables")
     p.add_argument("--H", type=int, default=512)
     p.add_argument("--W", type=int, default=512)
     p.add_argument("--seed", type=int, default=42)
@@ -129,9 +134,16 @@ def main(argv=None):
 
     sw = tuple(args.clip_skip_weights)
     all_paths = []
+    empty_ctx = None
+    if args.compel_cfg_weight_level:
+        empty_ctx = pc([""] * args.n_samples, {}, skip_weights=sw)
     for pi, prompt in enumerate(prompts):
         cond = pc([prompt] * args.n_samples, {args.subject_string: subj_embs},
                   skip_weights=sw)
+        if empty_ctx is not None:
+            from adaprompt_tpu.adaface.compel_cfg import apply_compel_cfg
+            cond = apply_compel_cfg(cond, empty_ctx,
+                                    args.compel_cfg_weight_level)
         uncond = pc([args.neg_prompt] * args.n_samples, {}, skip_weights=sw)
         imgs = pipe.generate(None, context=cond, context_uncond=uncond,
                              num_steps=args.ddim_steps,

@@ -149,14 +149,17 @@ class PersonalizedDataset:
     def num_images(self):
         return sum(len(s.image_paths) for s in self.subjects)
 
-    def sample(self, subject_idx: int) -> dict:
+    def sample(self, subject_idx: int, rng: random.Random | None = None) -> dict:
+        """rng overrides the dataset RNG — each loader worker passes its own
+        (the reference's worker_init_fn reseeding, main.py:396-409)."""
+        rng = rng or self.rng
         subj = self.subjects[subject_idx]
-        i = self.rng.randrange(len(subj.image_paths))
+        i = rng.randrange(len(subj.image_paths))
         stacked, has_fg_mask = _load_image_and_mask(
-            subj.image_paths[i], subj.fg_mask_paths[i], self.size, self.rng,
+            subj.image_paths[i], subj.fg_mask_paths[i], self.size, rng,
             self.flip_p)
-        if self.rng.random() < self.scale_p:
-            stacked, aug_mask = _random_scale_shift(stacked, self.rng)
+        if rng.random() < self.scale_p:
+            stacked, aug_mask = _random_scale_shift(stacked, rng)
         else:
             aug_mask = np.ones(stacked.shape[:2], np.uint8)
 
@@ -181,7 +184,7 @@ class PersonalizedDataset:
             num_vectors_per_bg_token=self.num_vectors_per_bg_token,
             broad_class=subj.broad_class, is_animal=True,
             num_compositions_per_image=self.num_compositions_per_image,
-            rng=self.rng))
+            rng=rng))
 
         # optional background overlay composition (the reference's wds path,
         # personalized.py:721-830)
@@ -190,7 +193,7 @@ class PersonalizedDataset:
         ex["wds_caption_bg"] = ex["caption_bg"]
         ex["wds_comp_extra"] = ""
         if (self.overlay_provider is not None
-                and self.rng.random() < self.overlay_prob):
+                and rng.random() < self.overlay_prob):
             from adaprompt_tpu.data.overlays import composite_wds_example
             bg = self.overlay_provider.sample()
             if bg is not None:
@@ -217,19 +220,74 @@ class SubjectSampler:
                 return idx
 
 
+def _collate(examples: list, subj_idx: int) -> dict:
+    batch = {}
+    for k in examples[0]:
+        vals = [e[k] for e in examples]
+        batch[k] = vals if isinstance(vals[0], (str, bool)) else np.stack(vals)
+    batch["subject_idx"] = subj_idx
+    return batch
+
+
 def make_batch_iterator(dataset: PersonalizedDataset, sampler: SubjectSampler,
-                        batch_size: int):
+                        batch_size: int, num_workers: int = 0,
+                        prefetch: int = 4):
     """Yields collated numpy batches; one subject per batch (the
-    SubjectSampler contract)."""
-    str_keys = None
-    while True:
-        subj_idx = sampler.next_subject()
-        examples = [dataset.sample(subj_idx) for _ in range(batch_size)]
-        if str_keys is None:
-            str_keys = [k for k, v in examples[0].items() if isinstance(v, str)]
-        batch = {}
-        for k in examples[0]:
-            vals = [e[k] for e in examples]
-            batch[k] = vals if isinstance(vals[0], (str, bool)) else np.stack(vals)
-        batch["subject_idx"] = subj_idx
-        yield batch
+    SubjectSampler contract).
+
+    num_workers > 0 runs the PIL decode/augment pipeline in a thread pool
+    with a bounded prefetch queue (the reference's multi-worker DataLoader,
+    main.py:414-512) so the accelerator never waits on image IO. Thread
+    (not process) workers suffice: the decode path is PIL/numpy, which
+    releases the GIL for the heavy ops. Batch order is deterministic for a
+    fixed sampler seed regardless of num_workers (subject indices are drawn
+    on the producer side in order)."""
+    if num_workers <= 0:
+        while True:
+            subj_idx = sampler.next_subject()
+            yield _collate([dataset.sample(subj_idx)
+                            for _ in range(batch_size)], subj_idx)
+        return
+
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    pool_sem = threading.Semaphore(num_workers)
+    stop = threading.Event()
+
+    def make_batch(subj_idx, seed):
+        try:
+            rng = random.Random(seed)  # per-batch rng: no cross-thread races
+            return _collate([dataset.sample(subj_idx, rng=rng)
+                             for _ in range(batch_size)], subj_idx)
+        finally:
+            pool_sem.release()
+
+    def producer():
+        import concurrent.futures as cf
+        base_seed = dataset.rng.randrange(2 ** 31)
+        counter = 0
+        with cf.ThreadPoolExecutor(max_workers=num_workers) as ex:
+            while not stop.is_set():
+                pool_sem.acquire()
+                if stop.is_set():
+                    break
+                subj_idx = sampler.next_subject()
+                fut = ex.submit(make_batch, subj_idx, base_seed + counter)
+                counter += 1
+                q.put(fut)  # futures queued in order -> deterministic order
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            yield q.get().result()
+    finally:
+        stop.set()
+        pool_sem.release()
+        while not q.empty():  # drain so the producer can exit
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

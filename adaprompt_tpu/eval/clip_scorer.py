@@ -43,6 +43,27 @@ class CLIPScorer:
         self.vision_cfg = vision_cfg
 
     @classmethod
+    def from_torch(cls, state_dict, tokenizer=None,
+                   text_cfg=CLIP_B32_TEXT,
+                   vision_cfg=clip_vision.CLIP_VIT_B32_VISION):
+        """Port a transformers CLIPModel (ViT-B/32) state_dict — the weights
+        behind the reference's `clip.load('ViT-B/32')` evaluator
+        (/root/reference/evaluation/clip_eval.py:8-36)."""
+        def np_(v):
+            return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        sd = {k: v for k, v in state_dict.items()}
+        text_sd = {k.removeprefix("text_model."): v for k, v in sd.items()
+                   if k.startswith("text_model.")}
+        vis_sd = {k: v for k, v in sd.items()
+                  if k.startswith("vision_model.") or k == "visual_projection.weight"}
+        params = CLIPScorerParams(
+            text=clip_text.from_torch(text_sd, text_cfg),
+            text_projection=jnp.asarray(np_(sd["text_projection.weight"]).T,
+                                        jnp.float32),
+            vision=clip_vision.from_torch(vis_sd, vision_cfg))
+        return cls(params, tokenizer or CLIPTokenizer.load(), text_cfg, vision_cfg)
+
+    @classmethod
     def random_init(cls, key, tokenizer=None,
                     text_cfg=CLIP_B32_TEXT,
                     vision_cfg=clip_vision.CLIP_VIT_B32_VISION):

@@ -36,6 +36,46 @@ def list_images(path: str, num_samples: int = -1):
     return paths
 
 
+def make_cascade_detector(cascade_xml_path: str, size: int = 112,
+                          margin: float = 0.25):
+    """Real face detection via an OpenCV Haar/LBP cascade file (pluggable
+    replacement for the reference's RetinaFace host-side detection,
+    adaface/util.py:242-341). Returns a detector callable yielding face
+    crops resized to `size`, largest face first; empty list when no face."""
+    import cv2
+    cascade = cv2.CascadeClassifier(cascade_xml_path)
+    if cascade.empty():
+        raise ValueError(f"could not load cascade from {cascade_xml_path}")
+
+    def detect(image_np: np.ndarray) -> list[np.ndarray]:
+        gray = cv2.cvtColor(np.asarray(image_np), cv2.COLOR_RGB2GRAY)
+        faces = cascade.detectMultiScale(gray, scaleFactor=1.1,
+                                         minNeighbors=4)
+        crops = []
+        h, w = image_np.shape[:2]
+        for (x, y, fw, fh) in sorted(faces, key=lambda f: -f[2] * f[3]):
+            m = int(max(fw, fh) * margin)
+            x0, y0 = max(x - m, 0), max(y - m, 0)
+            x1, y1 = min(x + fw + m, w), min(y + fh + m, h)
+            crop = image_np[y0:y1, x0:x1]
+            crops.append(cv2.resize(crop, (size, size),
+                                    interpolation=cv2.INTER_LINEAR))
+        return crops
+
+    return detect
+
+
+def make_detector(spec: str | None, size: int = 112):
+    """Detector factory: None/'center_crop' -> center-crop fallback;
+    'cascade:<xml_path>' -> OpenCV cascade detection."""
+    if spec in (None, "center_crop"):
+        return None  # FaceSimilarityEvaluator defaults to center_crop
+    if spec.startswith("cascade:"):
+        return make_cascade_detector(spec.split(":", 1)[1], size=size)
+    raise ValueError(f"unknown detector spec {spec!r}; "
+                     "use 'center_crop' or 'cascade:<xml_path>'")
+
+
 def center_crop_detector(image_np: np.ndarray, size: int = 112) -> list[np.ndarray]:
     """Fallback 'detector': center square crop resized to 112 (for
     environments without a face detector; fine for already-cropped folders)."""

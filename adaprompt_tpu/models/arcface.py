@@ -138,6 +138,25 @@ def from_torch(state_dict, cfg: IResNetConfig = IRESNET100, dtype=jnp.float32) -
     }
 
 
+def from_onnx(path: str, cfg: IResNetConfig = IRESNET100,
+              dtype=jnp.float32) -> dict:
+    """Port ArcFace weights straight from an insightface .onnx file
+    (antelopev2 glintr100 — the reference's recognition model,
+    adaface/util.py:242-341). Works when the export kept the arcface_torch
+    module names in the initializers (the standard torch.onnx export of
+    iresnet); raises with the found names otherwise so a rename map can be
+    supplied."""
+    from adaprompt_tpu.utils.onnx_port import read_onnx_initializers
+    init = read_onnx_initializers(path)
+    if "conv1.weight" not in init:
+        sample = sorted(init)[:20]
+        raise ValueError(
+            "ONNX initializers don't carry arcface_torch module names; "
+            f"found e.g. {sample}. Convert with a rename map to the "
+            "layerN.M.* layout and call from_torch().")
+    return from_torch(init, cfg, dtype)
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------

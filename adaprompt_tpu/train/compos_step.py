@@ -140,7 +140,6 @@ def make_compos_train_phase(optimizer: optax.GradientTransformation,
                             models: ComposModels, context_fn,
                             *, sched: DiffusionSchedule = SD15_SCHEDULE,
                             compute_dtype=jnp.bfloat16,
-                            training_percent: float = 0.0,
                             loss_weights: dict | None = None):
     """With-grad denoise of the 4-type batch + distillation losses + update.
 
@@ -152,7 +151,9 @@ def make_compos_train_phase(optimizer: optax.GradientTransformation,
       'subj_pos': host token positions of the subject embeddings,
       'bg_pos': host positions of the background embeddings | None.
     batch: {'x_start': [4,h,w,4], 't': [4], 'noise': [4,h,w,4],
-            'fg_mask': [1,h0,w0,1]|None}.
+            'fg_mask': [1,h0,w0,1]|None,
+            'training_percent': [] traced progress scalar in [0,1] driving
+            the subj/cls mix-scale anneal (ddpm.py:518-519)}.
     """
     lw = {"prompt_emb_delta": 2e-4, "mix_prompt_distill": 1e-4,
           "comp_fg_bg_preserve": 1e-3, "fg_bg_xlayer_consist": 5e-5}
@@ -169,7 +170,8 @@ def make_compos_train_phase(optimizer: optax.GradientTransformation,
         t = batch["t"]
         t_frac = t[2:4].astype(jnp.float32) / sched.num_timesteps
         mix_v, mix_k = compos_mod.mix_static_vk_embeddings(
-            subj_ctx, cls_ctx, subj_pos, t_frac, training_percent)
+            subj_ctx, cls_ctx, subj_pos, t_frac,
+            batch.get("training_percent", jnp.asarray(0.0, jnp.float32)))
         ctx_v = jnp.concatenate([subj_ctx, mix_v], axis=1)   # [L, 4, S, D]
         ctx_k = jnp.concatenate([subj_ctx, mix_k], axis=1)
 

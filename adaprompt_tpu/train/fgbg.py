@@ -83,8 +83,17 @@ def resize_mask_for_attn(mask: jax.Array, target_hw: int) -> jax.Array:
 
 
 def _select_score(attnscore, pos):
-    """[B, heads, Q, 77] + K token positions -> summed [B, heads, Q]."""
+    """[B, heads, Q, 77] + K token positions -> summed [B, heads, Q].
+
+    pos may be [K] (shared across rows — the compos 1-block case) or [B, K]
+    per-row positions (recon batches, where each caption places the subject
+    tokens differently)."""
     pos = jnp.asarray(pos)
+    if pos.ndim == 2:
+        b = attnscore.shape[0]
+        idx = pos[:b, None, None, :]
+        idx = jnp.broadcast_to(idx, attnscore.shape[:3] + (pos.shape[-1],))
+        return jnp.take_along_axis(attnscore, idx, axis=-1).sum(axis=-1)
     return attnscore[:, :, :, pos].sum(axis=-1)
 
 
@@ -188,9 +197,9 @@ def calc_fg_bg_xlayer_consist_loss(ca_attnscores: dict, subj_pos, bg_pos,
     l_fg, l_bg = [], []
 
     def layer_attn(score, pos):
-        # mean over heads, sum over K -> [SSB, Q]
-        p = jnp.asarray(pos)
-        return score[:ssb_size, :, :, p].mean(axis=1).sum(axis=-1)
+        # mean over heads, sum over K -> [SSB, Q]; pos [K] shared or [B, K]
+        # per-row (see _select_score)
+        return _select_score(score[:ssb_size], pos).mean(axis=1)
 
     for li, score in ca_attnscores.items():
         if li not in w or XLAYER_MAPS.get(li) not in ca_attnscores:

@@ -21,6 +21,7 @@ embeddings_gs-*.pt role).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 import time
@@ -44,24 +45,45 @@ from adaprompt_tpu.train.prodigy import prodigy
 
 @dataclasses.dataclass
 class TrainerConfig:
+    """Defaults = the published Stage-1 run (README.md:63-68): d_coef 1,
+    warmup 600, Dirichlet clip-skip over alpha (1,2,2), arc2face distill
+    every iter, no compositional iters. Use `stage2()` for the Stage-2
+    preset (README.md:80-83)."""
     max_steps: int = 120_000
     grad_accum: int = 2                      # manual_accumulate_grad_batches
     grad_clip: float = 0.5
     optimizer_type: str = "Prodigy"          # Prodigy | AdamW
-    d_coef: float = 2.0
+    d_coef: float = 1.0                      # README.md:68 (S1); 0.5 in S2
     prodigy_betas: tuple = (0.9, 0.999)      # zs_betas (yaml:76)
-    warm_up_steps: int = 500
+    warm_up_steps: int = 600                 # README.md:63 --warmup_steps 600
     scheduler_cycles: int = 1
     base_lr: float = 8e-4                    # AdamW path only
-    composition_regs_iter_gap: int = 3
-    arc2face_distill_iter_prob: float = 0.1
-    num_denoising_steps_range: tuple = (1, 3, 5, 7)
-    skip_weights: tuple = (0.5, 0.5)         # training clip-skip base weights
+    composition_regs_iter_gap: int = 0       # S1: 0 (README.md:63); S2: 3
+    arc2face_distill_iter_prob: float = 1.0  # S1: 1 (README.md:63); S2: 0.2
+    # ND candidates (1,3,5,7) truncated at max_num_denoising_steps, sampled
+    # with probs (0.4,0.3,0.2,0.1) renormalized (ddpm.py:1839-1852)
+    max_num_denoising_steps: int = 5         # ddpm.py:133; S2 CLI: 3
+    num_denoising_steps_probs: tuple = (0.4, 0.3, 0.2, 0.1)
+    # Dirichlet alpha over the last-N CLIP hidden layers, last = last layer
+    # (README.md:63 --clip_last_layers_skip_weights 1 2 2)
+    skip_weights: tuple = (1.0, 2.0, 2.0)
     randomize_clip_skip: bool = True         # Dirichlet-sampled per iter
+    num_candidate_teachers: int = 2          # yaml:31
+    use_ema: bool = False                    # ema.py port; off in ref (yaml:25)
+    ema_decay: float = 0.9999
     seed: int = 0
     ckpt_every: int = 500
     out_dir: str = "runs/adaprompt"
     compute_dtype: str = "bfloat16"
+
+    @classmethod
+    def stage2(cls, **overrides):
+        """Stage-2 compositional-distillation preset (README.md:80-83)."""
+        kw = dict(max_steps=60_000, d_coef=0.5, warm_up_steps=1000,
+                  arc2face_distill_iter_prob=0.2, composition_regs_iter_gap=3,
+                  max_num_denoising_steps=3)
+        kw.update(overrides)
+        return cls(**kw)
 
 
 def build_optimizer(cfg: TrainerConfig):
@@ -84,23 +106,56 @@ def build_optimizer(cfg: TrainerConfig):
     return tx
 
 
+def apply_emb_scale(embs, trainable, batch, index):
+    """Learnable per-placeholder global scale sigmoid(score)+0.5, perturbed
+    by a host-sampled U(0.8, 1.4) factor during training
+    (embedding_manager.py:1021-1022, 1736-1761)."""
+    scores = trainable.get("emb_scales")
+    if scores is None:
+        return embs
+    scale = jax.nn.sigmoid(scores[index]) + 0.5
+    pert = batch.get("emb_scale_perturb")
+    if pert is not None:
+        scale = scale * pert[index]
+    return embs * scale.astype(embs.dtype)
+
+
 def make_zs_recon_step(optimizer, frozen: steps_mod.FrozenSD, tokenizer,
-                       subj_basis_cfg, *, num_ca_layers: int = 16,
-                       sched=SD15_SCHEDULE, compute_dtype=jnp.bfloat16):
+                       subj_basis_cfg, *, bg_basis_cfg=None,
+                       use_bg: bool = False, fgbg_reg: bool = False,
+                       num_ca_layers: int = 16,
+                       sched=SD15_SCHEDULE, compute_dtype=jnp.bfloat16,
+                       fg_bg_complementary_loss_weight: float = 2e-4,
+                       fg_bg_xlayer_consist_loss_weight: float = 5e-5):
     """Zero-shot reconstruction iter: the trainable SubjBasisGenerator
     produces the subject embeddings spliced into the caption prompt; the
     frozen SD UNet reconstructs the noised training latents
     (ddpm.py:2896-2950 recon path under zero-shot conditioning).
 
+    use_bg: also train the background SubjBasisGenerator — the 'y' token's
+    embeddings come from zero-shot CLIP features of the training image
+    (embedding_manager.py:1148-1178 bg placeholder; ddpm.py:2322-2471
+    feature extraction happens host-side in prepare_recon_batch).
+    fgbg_reg: apply the recon-iter attention regularizers
+    (calc_recon_and_complem_losses, ddpm.py:3459-3530 + 3246-3270):
+    fg/bg complementary family (weight 2e-4) and cross-layer consistency
+    (weight 5e-5), with the reference's zero-shot scale reductions.
+
     batch: {'z0', 'faceid', 'caption_ids' [B,77], 'subj_bi' [B],
-            'subj_pos' [B], 'fg_mask', 'aug_mask', 'skip_weights' [N]}.
+            'subj_pos' [B], 'fg_mask', 'aug_mask', 'skip_weights' [N],
+            'emb_noise_std' scalar (0=off), 'emb_scale_perturb' [P]|None,
+            + when use_bg: 'clip_features' [B,2S,1280], 'bg_bi' [B],
+            'bg_pos' [B]}.
     """
+    from adaprompt_tpu.train import fgbg as fgbg_mod
+
     K = subj_basis_cfg.num_out_embs_per_layer
+    K_bg = bg_basis_cfg.num_out_embs_per_layer if bg_basis_cfg else 0
 
     def loss_fn(trainable, batch, key):
         z0 = batch["z0"]
         b = z0.shape[0]
-        kt, kn = jax.random.split(key)
+        kt, kn, ke = jax.random.split(key, 3)
         t = jax.random.randint(kt, (b,), 0, sched.num_timesteps)
         noise = jax.random.normal(kn, z0.shape, jnp.float32)
 
@@ -111,21 +166,74 @@ def make_zs_recon_step(optimizer, frozen: steps_mod.FrozenSD, tokenizer,
 
         subj_embs, _ = sbg.forward(trainable["subj_basis"], subj_basis_cfg,
                                    tokenizer, core_id, is_training=True)
+        std = batch.get("emb_noise_std")
+        if std is not None:
+            subj_embs = cond_mod.add_noise_to_tensor(subj_embs, ke, std)
+        subj_embs = apply_emb_scale(subj_embs, trainable, batch, 0)
         # zero-shot subject branch repeats the core embs over layers —
         # use the L'=1 fast path
+        splices = [(subj_embs[:, :1], batch["subj_bi"], batch["subj_pos"], K)]
+        layerwise = False
+        if use_bg:
+            bg_embs, _ = sbg.forward(trainable["bg_basis"], bg_basis_cfg,
+                                     tokenizer,
+                                     clip_features=batch["clip_features"],
+                                     is_training=True)
+            bg_embs = apply_emb_scale(bg_embs, trainable, batch, 1)
+            splices.append((bg_embs, batch["bg_bi"], batch["bg_pos"], K_bg))
+            layerwise = True   # bg embeddings are per-CA-layer
         ctx = cond_mod.encode_spliced(
-            frozen.text, batch["caption_ids"],
-            [(subj_embs[:, :1], batch["subj_bi"], batch["subj_pos"], K)],
-            batch["skip_weights"], num_ca_layers, frozen.text_cfg)
+            frozen.text, batch["caption_ids"], splices,
+            batch["skip_weights"], num_ca_layers, frozen.text_cfg,
+            layerwise=layerwise)
 
         z_t = q_sample(sched, z0, t, noise)
-        eps = unet_mod.forward(frozen.unet, z_t.astype(compute_dtype), t,
-                               ctx.astype(compute_dtype),
-                               cfg=frozen.unet_cfg).astype(jnp.float32)
+        # aug_mask restricts self-attention keys to non-padded tokens during
+        # recon iters (ddpm.py:2871-2877; None only for compositional iters)
+        if fgbg_reg:
+            eps, caps = unet_mod.forward(
+                frozen.unet, z_t.astype(compute_dtype), t,
+                ctx.astype(compute_dtype), img_mask=batch.get("aug_mask"),
+                capture_ca=True, cfg=frozen.unet_cfg)
+            eps = eps.astype(jnp.float32)
+        else:
+            eps = unet_mod.forward(frozen.unet, z_t.astype(compute_dtype), t,
+                                   ctx.astype(compute_dtype),
+                                   img_mask=batch.get("aug_mask"),
+                                   cfg=frozen.unet_cfg).astype(jnp.float32)
         loss = calc_recon_loss(eps, noise, batch.get("aug_mask"),
                                batch.get("fg_mask"), fg_pixel_weight=1.0,
                                bg_pixel_weight=0.1)
-        return loss, {"loss_recon": loss}
+        metrics = {"loss_recon": loss}
+
+        if fgbg_reg:
+            attnscores = {li: v.astype(jnp.float32)
+                          for li, v in caps["attnscore"].items()}
+            subj_rows = batch["subj_pos"][:, None] + jnp.arange(K)[None]
+            bg_rows = (batch["bg_pos"][:, None] + jnp.arange(K_bg)[None]
+                       if use_bg else None)
+            comple, subj_mb, bg_mf, contrast = \
+                fgbg_mod.calc_fg_bg_complementary_loss(
+                    attnscores, subj_rows, bg_rows, b, fg_grad_scale=0.1,
+                    fg_mask=batch.get("fg_mask"))
+            # 0.2 scale on the complementary term under do_zero_shot
+            # (ddpm.py:3497-3501); family weight yaml:48
+            loss_contrast = (comple * 0.2 + subj_mb + bg_mf + contrast) \
+                * fg_bg_complementary_loss_weight
+            fg_x, bg_x = fgbg_mod.calc_fg_bg_xlayer_consist_loss(
+                attnscores, subj_rows, bg_rows, b)
+            # zero-shot xlayer scales 0.2/0.06 (ddpm.py:3266-3268); yaml:50
+            loss_xlayer = (fg_x * 0.2 + bg_x * 0.06) \
+                * fg_bg_xlayer_consist_loss_weight
+            loss = loss + loss_contrast + loss_xlayer
+            metrics.update({"loss_fg_bg_complementary": comple,
+                            "loss_subj_mb_suppress": subj_mb,
+                            "loss_bg_mf_suppress": bg_mf,
+                            "loss_fg_bg_mask_contrast": contrast,
+                            "loss_fg_xlayer_consist": fg_x,
+                            "loss_bg_xlayer_consist": bg_x})
+        metrics["loss"] = loss
+        return loss, metrics
 
     def step(state, batch, key):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -145,12 +253,37 @@ class AdaPromptTrainer:
                  tokenizer, subj_basis_cfg, sbg_params,
                  batch_iterator, cfg: TrainerConfig,
                  face_embedder=None, subject_spec=None, clip_scorer=None,
-                 num_candidate_teachers: int = 2):
+                 synthetic_faces: bool = False,
+                 bg_basis_cfg=None, bg_params=None, zs_extractor=None,
+                 bg_spec=None, use_background_token_prob: float = 0.9,
+                 emb_noise_prob: dict | None = None,
+                 emb_noise_std_range: tuple = (0.02, 0.04)):
+        # Background ('y') token branch: bg_params is the BG
+        # SubjBasisGenerator pytree and zs_extractor the
+        # ZeroShotFeatureExtractor producing its CLIP features
+        # (embedding_manager.py:1148-1178; ddpm.py:2322-2471). Recon iters
+        # use the bg token with prob 0.9 under zero-shot training
+        # (ddpm.py:1570-1595); arc2face distill iters never do.
+        self.bg_basis_cfg = bg_basis_cfg
+        self.bg_params = bg_params
+        self.zs_extractor = zs_extractor
+        self.use_background_token_prob = use_background_token_prob
+        # per-iter-type embedding-noise probs (yaml:101-103)
+        self.emb_noise_prob = emb_noise_prob or {
+            "recon_iter": 0.6, "arc2face_distill_iter": 0.0,
+            "compos_distill_iter": 0.4}
+        self.emb_noise_std_range = emb_noise_std_range
         # clip_scorer: optional eval.clip_scorer.CLIPScorer for compositional
         # teacher filtering (do_clip_teacher_filtering, yaml:31); without it
         # every fresh compositional iteration is treated as teachable.
         self.clip_scorer = clip_scorer
-        self.num_candidate_teachers = num_candidate_teachers
+        if face_embedder is None and not synthetic_faces:
+            raise ValueError(
+                "no face_embedder: training would distill against random "
+                "identities (gen_arc2face_rand_face is a smoke-test path, "
+                "ddpm.py:1788-1880). Pass face_embedder=FaceSimilarityEvaluator"
+                "(arcface params) or opt in with synthetic_faces=True.")
+        self.synthetic_faces = synthetic_faces
         self.mesh = None
         self.frozen = frozen
         self.vae_params = vae_params
@@ -162,21 +295,50 @@ class AdaPromptTrainer:
         self.face_embedder = face_embedder
         self.rng = np.random.default_rng(cfg.seed)
         self.key = jax.random.PRNGKey(cfg.seed)
+        self._global_step = 0
+        # teachable-fraction counters (ddpm.py:3681-3688)
+        self._num_filter_iters = 0
+        self._num_teachable_iters = 0
+        self._num_reuse_filter_iters = 0
+        self._num_reuse_teachable_iters = 0
         # ca_q_bns running stats (embedding_manager.py:1205-1215 bookkeeping)
         self.ca_q_bn_stats: dict = {}
         self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-        self.subject_spec = subject_spec or cond_mod.make_placeholders(
-            tokenizer, ("z",), ("y",),
-            num_vectors_subj=subj_basis_cfg.num_out_embs_per_layer)[0]
+        if subject_spec is None or (self.bg_params is not None and bg_spec is None):
+            specs = cond_mod.make_placeholders(
+                tokenizer, ("z",), ("y",),
+                num_vectors_subj=subj_basis_cfg.num_out_embs_per_layer,
+                num_vectors_bg=(bg_basis_cfg.num_out_embs_per_layer
+                                if bg_basis_cfg else 4))
+            subject_spec = subject_spec or specs[0]
+            bg_spec = bg_spec or specs[1]
+        self.subject_spec = subject_spec
+        self.bg_spec = bg_spec
 
         self.optimizer = build_optimizer(cfg)
-        self.state = steps_mod.create_train_state({"subj_basis": sbg_params},
-                                                  self.optimizer)
+        trainable = {"subj_basis": sbg_params,
+                     # learnable per-placeholder global scale scores
+                     # (embedding_manager.py:1021-1022)
+                     "emb_scales": jnp.zeros((2,), jnp.float32)}
+        if self.bg_params is not None:
+            trainable["bg_basis"] = self.bg_params
+        self.state = steps_mod.create_train_state(trainable, self.optimizer)
+        # frozen snapshot for the compos-iter 0.9/0.1 subj-single blend
+        # (frozen_string_to_subj_basis_generator_dict,
+        #  embedding_manager.py:1472-1502)
+        self._frozen_sbg_params = jax.tree.map(lambda x: x, sbg_params)
 
-        self._recon_step = jax.jit(make_zs_recon_step(
-            self.optimizer, frozen, tokenizer, subj_basis_cfg,
-            compute_dtype=self.dtype))
+        # optional EMA of the trainable params (LitEma port; use_ema is off
+        # in the reference configs too, yaml:25)
+        self.ema = None
+        if cfg.use_ema:
+            from adaprompt_tpu.train import ema as ema_mod
+            self.ema = ema_mod.ema_init(trainable)
+            self._ema_update = jax.jit(functools.partial(
+                ema_mod.ema_update, decay=cfg.ema_decay))
+
+        self._recon_steps = {}   # keyed by (use_bg, fgbg_reg)
         self._distill_steps = {}
         self._encode_latents = jax.jit(
             lambda imgs: vae_mod.encode(vae_params, imgs, cfg=vae_cfg)[0] * 0.18215)
@@ -202,6 +364,7 @@ class AdaPromptTrainer:
             unet_cfg=self.frozen.unet_cfg, text_cfg=self.frozen.text_cfg,
             arc2face_text_cfg=self.frozen.arc2face_text_cfg)
         self.vae_params = sp(self.vae_params)
+        self._frozen_sbg_params = sp(self._frozen_sbg_params)
         self.state = steps_mod.TrainState(
             params=sp(self.state.params),
             opt_state=jax.tree.map(
@@ -209,9 +372,7 @@ class AdaPromptTrainer:
                 mesh_mod.replicate(x, self.mesh), self.state.opt_state),
             step=self.state.step)
         # rebuild jitted fns against the sharded frozen params
-        self._recon_step = jax.jit(make_zs_recon_step(
-            self.optimizer, self.frozen, self.tokenizer, self.subj_basis_cfg,
-            compute_dtype=self.dtype))
+        self._recon_steps = {}
         self._distill_steps = {}
         for attr in ("_compos_phase", "_filter_phase", "_filter_ctx_fn"):
             if hasattr(self, attr):
@@ -224,26 +385,69 @@ class AdaPromptTrainer:
         from jax.sharding import NamedSharding, PartitionSpec as P
         dp = NamedSharding(self.mesh, P("dp"))
         rep = NamedSharding(self.mesh, P())
+        # keys whose leading dim is NOT the batch axis
+        replicated_keys = {"skip_weights", "emb_scale_perturb",
+                           "emb_noise_std", "training_percent"}
         out = {}
         for k, v in batch.items():
             if v is None or not hasattr(v, "shape"):
                 out[k] = v
-            elif v.ndim >= 1 and v.shape[0] % self.mesh.shape["dp"] == 0 and v.shape[0] > 1:
+            elif (k not in replicated_keys and v.ndim >= 1
+                  and v.shape[0] % self.mesh.shape["dp"] == 0 and v.shape[0] > 1):
                 out[k] = jax.device_put(v, dp)
             else:
                 out[k] = jax.device_put(v, rep)
         return out
 
+    def _get_recon_step(self, use_bg: bool, fgbg_reg: bool):
+        key = (use_bg, fgbg_reg)
+        if key not in self._recon_steps:
+            self._recon_steps[key] = jax.jit(make_zs_recon_step(
+                self.optimizer, self.frozen, self.tokenizer,
+                self.subj_basis_cfg, bg_basis_cfg=self.bg_basis_cfg,
+                use_bg=use_bg, fgbg_reg=fgbg_reg, compute_dtype=self.dtype))
+        return self._recon_steps[key]
+
     # -- batch prep -------------------------------------------------------------
+
+    def _emb_noise_std(self, iter_type: str) -> float:
+        """Host-sampled embedding-noise std: on with the per-iter-type prob,
+        std ~ U(noise_std_range) (anneal_add_noise_to_embedding,
+        ldm/util.py:2144-2159); 0 disables."""
+        if self.rng.random() >= self.emb_noise_prob.get(iter_type, 0.0):
+            return 0.0
+        lo, hi = self.emb_noise_std_range
+        return float(self.rng.uniform(lo, hi))
+
+    def _emb_scale_perturb(self) -> np.ndarray:
+        """U(0.8, 1.4) training perturbation of the global scales
+        (embedding_manager.py:1748-1751)."""
+        return self.rng.uniform(0.8, 1.4, size=(2,)).astype(np.float32)
 
     def _skip_weights(self):
         base = np.asarray(self.cfg.skip_weights, np.float64)
         if self.cfg.randomize_clip_skip:
-            # Dirichlet-sampled clip-skip (encoders/modules.py:412-440)
-            w = self.rng.dirichlet(base + 1e-6)
+            # Dirichlet-sampled clip-skip with the config weights as the
+            # alpha (encoders/modules.py:412-440, Dir(1,2,2) in README.md:68)
+            w = self.rng.dirichlet(base)
         else:
             w = base / base.sum()
         return jnp.asarray(w, jnp.float32)
+
+    @property
+    def training_percent(self) -> float:
+        """global progress in [0,1] (ddpm.py:518-519); drives the mix-scale
+        and ND anneals."""
+        return min(self._global_step / max(self.cfg.max_steps, 1), 1.0)
+
+    def _sample_num_denoising_steps(self) -> int:
+        """ND ~ categorical over (1,3,5,7) truncated at
+        max_num_denoising_steps, probs (0.4,0.3,0.2,0.1) renormalized
+        (ddpm.py:1839-1852)."""
+        cand = [s for s in (1, 3, 5, 7)
+                if s <= self.cfg.max_num_denoising_steps]
+        p = np.asarray(self.cfg.num_denoising_steps_probs[:len(cand)], np.float64)
+        return int(self.rng.choice(cand, p=p / p.sum()))
 
     def _latent_mask(self, mask_np):
         m = jnp.asarray(np.asarray(mask_np, np.float32))[..., None]
@@ -252,22 +456,27 @@ class AdaPromptTrainer:
         from adaprompt_tpu.models.vae import _resize_mask_nearest
         return _resize_mask_nearest(m, (h, w))
 
-    def prepare_recon_batch(self, raw: dict) -> dict:
+    def prepare_recon_batch(self, raw: dict, use_bg: bool = False,
+                            iter_type: str = "recon_iter") -> dict:
         imgs = jnp.asarray(raw["image"], self.dtype)
         z0 = self._encode_latents(imgs).astype(jnp.float32)
-        ids = self.tokenizer([c for c in raw["caption"]])
+        captions = raw["caption_bg"] if use_bg else raw["caption"]
+        ids = self.tokenizer([c for c in captions])
         bi, pos = cond_mod.find_placeholder_indices(ids, self.subject_spec)
         b = z0.shape[0]
         if self.face_embedder is not None:
+            embs = [self.face_embedder.embed_image(im)
+                    for im in raw["image_unnorm"]]
+            # faceless images fall back to a random id (the reference's
+            # faceless_img_count handling, ddpm.py:1798-1812)
             faceid = np.stack([
-                (self.face_embedder.embed_image(im)[:1].reshape(-1)
-                 if len(self.face_embedder.embed_image(im)) else
+                (e[:1].reshape(-1) if len(e) else
                  self.rng.standard_normal(512).astype(np.float32))
-                for im in raw["image_unnorm"]])
+                for e in embs])
         else:
             faceid = self.rng.standard_normal((b, 512)).astype(np.float32)
         faceid = faceid / np.linalg.norm(faceid, axis=-1, keepdims=True)
-        return {
+        batch = {
             "z0": z0,
             "faceid": jnp.asarray(faceid),
             "caption_ids": jnp.asarray(ids),
@@ -276,7 +485,22 @@ class AdaPromptTrainer:
             "fg_mask": self._latent_mask(raw["fg_mask"]),
             "aug_mask": self._latent_mask(raw["aug_mask"]),
             "skip_weights": self._skip_weights(),
+            "emb_noise_std": jnp.asarray(self._emb_noise_std(iter_type),
+                                         jnp.float32),
+            "emb_scale_perturb": jnp.asarray(self._emb_scale_perturb()),
         }
+        if use_bg:
+            bg_bi, bg_pos = cond_mod.find_placeholder_indices(ids, self.bg_spec)
+            clip_feats, _, _ = self.zs_extractor(
+                raw["image_unnorm"], fg_masks=raw.get("fg_mask"), is_face=True)
+            batch.update({
+                "clip_features": jnp.asarray(clip_feats),
+                "bg_bi": jnp.asarray(bg_bi if len(bg_bi) == b
+                                     else np.arange(b), jnp.int32),
+                "bg_pos": jnp.asarray(bg_pos if len(bg_pos) == b
+                                      else np.full(b, 1), jnp.int32),
+            })
+        return batch
 
     # -- the state machine ---------------------------------------------------------
 
@@ -301,6 +525,9 @@ class AdaPromptTrainer:
         scfg = self.subj_basis_cfg
         tok = self.tokenizer
 
+        frozen_sbg = jax.tree.map(jax.lax.stop_gradient,
+                                  self._frozen_sbg_params)
+
         def context_fn(trainable, batch):
             _, core_id = a2f.forward_face_embs(
                 frozen.arc2face_text, tok, batch["faceid"],
@@ -308,23 +535,31 @@ class AdaPromptTrainer:
             core_id = jax.lax.stop_gradient(core_id)
             subj_embs, _ = sbg.forward(trainable["subj_basis"], scfg, tok,
                                        core_id, is_training=True)
+            std = batch.get("emb_noise_std")
+            if std is not None:
+                subj_embs = cond_mod.add_noise_to_tensor(
+                    subj_embs, jax.random.PRNGKey(0) if batch.get("noise_key")
+                    is None else batch["noise_key"], std)
+            subj_embs = apply_emb_scale(subj_embs, trainable, batch, 0)
+            # subj-single embeddings (row 0) are a 0.9 frozen / 0.1 live
+            # blend in compos iters (embedding_manager.py:1472-1502)
+            subj_embs0, _ = sbg.forward(frozen_sbg, scfg, tok, core_id,
+                                        is_training=True)
+            subj_single = (jax.lax.stop_gradient(subj_embs0) * 0.9
+                           + subj_embs * 0.1)
             # encode the 4-type prompts; subject vectors spliced into rows 0,1
             ctx4 = cond_mod.encode_spliced(
                 frozen.text, batch["ids4"],
-                [(subj_embs[:, :1], batch["subj_rows"], batch["subj_pos4"], K)],
+                [(subj_single[:, :1], batch["subj_rows"][:1],
+                  batch["subj_pos4"][:1], K),
+                 (subj_embs[:, :1], batch["subj_rows"][1:2],
+                  batch["subj_pos4"][1:2], K)],
                 batch["skip_weights"], 16, frozen.text_cfg, layerwise=True)
             # distribute the class embedding over the K aligned slots in the
-            # cls rows (ddpm.py:2030-2050 / distribute_embedding_to_M_tokens)
-            pos0 = batch["cls_pos"]                                # [2] traced
-            L, _, S, D = ctx4.shape
-            cls_rows = ctx4[:, 2:4]                                # [L,2,S,D]
-            idx0 = jnp.broadcast_to(pos0.reshape(1, 2, 1, 1), (L, 2, 1, D))
-            col0 = jnp.take_along_axis(cls_rows, idx0, axis=2)     # [L,2,1,D]
-            repl = jnp.broadcast_to(col0 / np.sqrt(K), (L, 2, K, D))
-            li = jnp.broadcast_to(jnp.arange(L)[:, None, None], (L, 2, K))
-            bi = jnp.broadcast_to(jnp.asarray([2, 3])[None, :, None], (L, 2, K))
-            pi = jnp.broadcast_to(pos0[None, :, None] + jnp.arange(K)[None, None], (L, 2, K))
-            ctx4 = ctx4.at[li, bi, pi].set(repl.astype(ctx4.dtype))
+            # cls rows (ddpm.py:2030-2050)
+            from adaprompt_tpu.adaface.cls_delta import distribute_embedding_layerwise
+            ctx4 = distribute_embedding_layerwise(ctx4, [2, 3],
+                                                  batch["cls_pos"], K)
 
             static_embs = ctx4.transpose(1, 0, 2, 3)          # [4, L, S, D]
             mask = (batch["ids4"] != tok.eos_id).astype(jnp.float32)[..., None]
@@ -334,8 +569,7 @@ class AdaPromptTrainer:
 
         self._filter_ctx_fn = context_fn  # also usable eagerly for filtering
         self._compos_phase = cs.make_compos_train_phase(
-            self.optimizer, models, context_fn, compute_dtype=self.dtype,
-            training_percent=0.0)
+            self.optimizer, models, context_fn, compute_dtype=self.dtype)
 
     def prepare_compos_batch(self, raw: dict) -> dict | None:
         """4-type prompt batch from the first sample (BLOCK_SIZE=1,
@@ -376,40 +610,65 @@ class AdaPromptTrainer:
             "cls_comp_prompt": prompts[3],
         }
 
-    def _teacher_filter(self, cbatch: dict, x_start, t, noise) -> bool:
-        """Fresh-iteration CLIP teacher filtering (ddpm.py:3043-3135,
-        3597-3664): denoise once, decode, CLIP-score the comp images against
-        the class comp prompt; teachable iff cls loss <= 0.28 and
-        subj - cls margin > 0.002."""
+    def _teacher_filter(self, cbatch: dict, x_start_cand, t_cand, noise_cand):
+        """CLIP teacher filtering over N candidate (subj_comp, cls_comp)
+        pairs (ddpm.py:3043-3135, 3597-3712): denoise each candidate once
+        without grad, decode, CLIP-score the comp images against the class
+        comp prompt. A candidate is teachable iff its CLS loss <= 0.28 and
+        the subj - cls margin > 0.002; the best candidate is the teachable
+        one with the largest margin (argmax of loss_diffs_subj_mix).
+
+        Args: x_start_cand [N,h,w,4], t_cand [N], noise_cand [N,h,w,4].
+        Returns (is_teachable, best_cand_idx, filter_metrics).
+        """
         if self.clip_scorer is None:
-            return True
+            return True, 0, {}
         from adaprompt_tpu.train import compos_step as cs
-        from adaprompt_tpu.train.compos import clip_teachability
         if not hasattr(self, "_filter_phase"):
             models = cs.ComposModels(unet=self.frozen.unet, vae=self.vae_params,
                                      unet_cfg=self.frozen.unet_cfg,
                                      vae_cfg=self.vae_cfg)
             self._filter_phase = cs.make_filter_phase(models, cfg_scale=5.0,
                                                       compute_dtype=self.dtype)
-        # one (subj_comp, mix_comp) candidate pair from the current contexts:
-        # reuse the train-phase context_fn via a throwaway trace-free call
-        cinfo = None
-        try:
-            cinfo = self._filter_ctx_fn(self.state.params, cbatch)
-        except Exception:
-            return True
+        cinfo = self._filter_ctx_fn(self.state.params, cbatch)
         ctx4 = cinfo["ctx4"]
-        ctx2 = ctx4[:, 1:4:2]  # (subj_comp, cls_comp)
-        x2 = x_start[1:4:2]
-        t2 = t[1:4:2]
-        n2 = noise[1:4:2]
+        n = x_start_cand.shape[0]
+        # candidate batch layout (subj_comp x N, cls_comp x N)
+        # (calc_clip_losses, ddpm.py:3604-3609)
+        ctx2 = jnp.concatenate([jnp.repeat(ctx4[:, 1:2], n, axis=1),
+                                jnp.repeat(ctx4[:, 3:4], n, axis=1)], axis=1)
+        x2 = jnp.concatenate([x_start_cand, x_start_cand])
+        t2 = jnp.concatenate([t_cand, t_cand])
+        n2 = jnp.concatenate([noise_cand, noise_cand])
         _, imgs = self._filter_phase(ctx2, ctx2, None, x2, t2, n2)
         prompt = cbatch["cls_comp_prompt"]
         sims = self.clip_scorer.txt_to_img_similarity(
-            [prompt, prompt], np.asarray(imgs), reduction="diag")
-        losses = 0.5 - np.asarray(sims)
-        ok = clip_teachability(jnp.asarray([losses[1]]), jnp.asarray([losses[0]]))
-        return bool(np.asarray(ok)[0])
+            [prompt] * (2 * n), np.asarray(imgs), reduction="diag")
+        losses = 0.5 - np.asarray(sims).reshape(-1)
+        loss_subj, loss_mix = losses[:n], losses[n:]
+        diffs = loss_subj - loss_mix
+        # thresholds: ddpm.py:3652-3666
+        teachable = (loss_mix <= 0.28) & (diffs > 0.002)
+        metrics = {"loss_clip_subj_comp": float(loss_subj.mean()),
+                   "loss_clip_cls_comp": float(loss_mix.mean())}
+        if not teachable.any():
+            return False, 0, metrics
+        best = int(np.argmax(np.where(teachable, diffs, -1e4)))
+        return True, best, metrics
+
+    def _log_teachable(self, metrics: dict, teachable: bool, reuse: bool):
+        """teachable-fraction counters (ddpm.py:3681-3688)."""
+        self._num_filter_iters += 1
+        self._num_teachable_iters += int(teachable)
+        metrics["teachable"] = float(teachable)
+        metrics["teachable_frac"] = (self._num_teachable_iters
+                                     / max(self._num_filter_iters, 1))
+        if reuse:
+            self._num_reuse_filter_iters += 1
+            self._num_reuse_teachable_iters += int(teachable)
+            metrics["reuse_teachable_frac"] = (
+                self._num_reuse_teachable_iters
+                / max(self._num_reuse_filter_iters, 1))
 
     def _compos_step(self, cbatch: dict) -> dict:
         from adaprompt_tpu.train import compos_step as cs
@@ -417,37 +676,75 @@ class AdaPromptTrainer:
         name = cbatch["subject_name"]
         fresh = not self._cached_inits.has(name)
         if not fresh:
+            # reuse iter: cached x_recon at a mid-range t; still checked for
+            # teachability (reuse_init_conds branch, ddpm.py:3647-3651)
             x_start_np, t_np = self._cached_inits.take(name, self.rng)
             x_start = jnp.asarray(x_start_np)
             t = jnp.asarray(t_np)
+            noise = jax.random.normal(self._next_key(), x_start.shape, jnp.float32)
+            teachable, _, fmet = self._teacher_filter(
+                cbatch, x_start[1:2], t[1:2], noise[1:2])
+            if not teachable:
+                out = {"iter_type": "compos_distill_skipped", **fmet}
+                self._log_teachable(out, False, reuse=True)
+                return out
+            fmetrics = fmet
         else:
-            t = jnp.asarray(self.rng.integers(800, 1000, size=(4,)), jnp.int32)
-            z0 = jnp.tile(cbatch["z0"], (4, 1, 1, 1))
-            fg = jnp.tile(cbatch["fg_mask"], (4, 1, 1, 1))
-            scale = cs.pick_fg_rand_scale(np.asarray(cbatch["fg_mask"]), self.rng)
-            x_start, _, _ = cs.init_x_with_fg_from_training_image(
-                z0, fg, fg, self._next_key(), scale)
-        noise = jax.random.normal(self._next_key(), x_start.shape, jnp.float32)
-
-        if fresh and not self._teacher_filter(cbatch, x_start, t, noise):
-            return {"iter_type": "compos_distill_skipped", "teachable": 0.0}
+            # fresh iter: N candidate (x_start, t, noise) triples with
+            # independent inits; the winner's triple is repeated 4x
+            # (ddpm.py:3056-3072)
+            n_cand = self.cfg.num_candidate_teachers
+            fg_np = np.asarray(cbatch["fg_mask"])
+            cands = []
+            for _ in range(n_cand):
+                scale = cs.pick_fg_rand_scale(fg_np, self.rng)
+                xc, _, _ = cs.init_x_with_fg_from_training_image(
+                    cbatch["z0"], cbatch["fg_mask"], cbatch["fg_mask"],
+                    self._next_key(), scale)
+                cands.append(xc)
+            x_cand = jnp.concatenate(cands, axis=0)              # [N,h,w,4]
+            t_cand = jnp.asarray(self.rng.integers(800, 1000, size=(n_cand,)),
+                                 jnp.int32)
+            noise_cand = jax.random.normal(self._next_key(), x_cand.shape,
+                                           jnp.float32)
+            teachable, best, fmet = self._teacher_filter(
+                cbatch, x_cand, t_cand, noise_cand)
+            if not teachable:
+                out = {"iter_type": "compos_distill_skipped", **fmet}
+                self._log_teachable(out, False, reuse=False)
+                return out
+            fmetrics = fmet
+            x_start = jnp.tile(x_cand[best:best + 1], (4, 1, 1, 1))
+            t = jnp.full((4,), t_cand[best], jnp.int32)
+            noise = jnp.tile(noise_cand[best:best + 1], (4, 1, 1, 1))
         batch = {"x_start": x_start, "t": t, "noise": noise,
+                 "training_percent": jnp.asarray(self.training_percent,
+                                                 jnp.float32),
                  "fg_mask": cbatch["fg_mask"],
                  "faceid": cbatch["faceid"], "ids4": cbatch["ids4"],
                  "subj_rows": cbatch["subj_rows"], "subj_pos4": cbatch["subj_pos4"],
                  "cls_pos": cbatch["cls_pos"],
                  "subj_pos_host": tuple(cbatch["subj_pos_host"]),
                  "skip_weights": cbatch["skip_weights"],
+                 "emb_noise_std": jnp.asarray(
+                     self._emb_noise_std("compos_distill_iter"), jnp.float32),
+                 "noise_key": self._next_key(),
+                 "emb_scale_perturb": jnp.asarray(self._emb_scale_perturb()),
                  # 50% coin: affine-free LN on mix-loss outfeats
                  # (ddpm.py:3371-3384)
                  "normalize_outfeat": jnp.asarray(
                      float(self.rng.random() < 0.5), jnp.float32)}
         self.state, metrics, x_recon = self._compos_phase(self.state, batch,
                                                           self._next_key())
-        self._cached_inits.put(name, np.asarray(x_recon), np.asarray(t))
+        # only fresh iters refill the cache; a reuse iter consumed its entry
+        if fresh:
+            self._cached_inits.put(name, np.asarray(x_recon), np.asarray(t))
         metrics = dict(metrics)
+        metrics.update(fmetrics)
         self._update_q_bn_stats(metrics.pop("q_bn_stats", {}))
         metrics["iter_type"] = "compos_distill"
+        if self.clip_scorer is not None:
+            self._log_teachable(metrics, True, reuse=not fresh)
         return metrics
 
     def _update_q_bn_stats(self, batch_stats: dict, momentum: float = 0.1):
@@ -466,6 +763,7 @@ class AdaPromptTrainer:
                 ent["var"] = (1 - momentum) * ent["var"] + momentum * v
 
     def train_step(self, step_idx: int) -> dict:
+        self._global_step = step_idx
         raw = next(self.batch_iterator)
 
         if (self.cfg.composition_regs_iter_gap > 0
@@ -481,11 +779,17 @@ class AdaPromptTrainer:
                 self._metrics_file.flush()
                 return out
 
-        batch = self._shard_batch(self.prepare_recon_batch(raw))
-
         do_distill = self.rng.random() < self.cfg.arc2face_distill_iter_prob
+        # bg token only on plain recon iters, prob 0.9 under zero-shot
+        # (ddpm.py:1570-1595: p=0 when do_arc2face_distill)
+        use_bg = (not do_distill and self.bg_params is not None
+                  and self.rng.random() < self.use_background_token_prob)
+        iter_type = "arc2face_distill_iter" if do_distill else "recon_iter"
+        batch = self._shard_batch(self.prepare_recon_batch(
+            raw, use_bg=use_bg, iter_type=iter_type))
+
         if do_distill:
-            nd = int(self.rng.choice(self.cfg.num_denoising_steps_range))
+            nd = self._sample_num_denoising_steps()
             if nd not in self._distill_steps:
                 self._distill_steps[nd] = jax.jit(steps_mod.make_arc2face_distill_step(
                     self.optimizer, self.frozen, self.tokenizer,
@@ -496,8 +800,14 @@ class AdaPromptTrainer:
                                                           self._next_key())
             metrics["iter_type"] = "arc2face_distill"
         else:
-            self.state, metrics = self._recon_step(self.state, batch, self._next_key())
-            metrics["iter_type"] = "recon"
+            # fg/bg attention regularizers run on recon iters
+            # (calc_recon_and_complem_losses, ddpm.py:3459-3530)
+            step_fn = self._get_recon_step(use_bg=use_bg, fgbg_reg=True)
+            self.state, metrics = step_fn(self.state, batch, self._next_key())
+            metrics["iter_type"] = "recon_bg" if use_bg else "recon"
+
+        if self.ema is not None:
+            self.ema = self._ema_update(self.ema, self.state.params)
 
         out = {k: (float(v) if hasattr(v, "dtype") else v)
                for k, v in metrics.items()}
@@ -556,6 +866,14 @@ class AdaPromptTrainer:
     def save_checkpoint(self, step: int):
         path = os.path.join(self.cfg.out_dir, f"embeddings_gs-{step}.npz")
         trees = {"subj_basis": self.state.params["subj_basis"]}
+        if "bg_basis" in self.state.params:
+            trees["bg_basis"] = self.state.params["bg_basis"]
+        if "emb_scales" in self.state.params:
+            # the reference's emb_global_scale_scores
+            # (embedding_manager.py:1824-1838 save dict)
+            trees["emb_scales"] = {"scores": self.state.params["emb_scales"]}
+        if self.ema is not None:
+            trees["ema_subj_basis"] = self.ema.shadow["subj_basis"]
         if self.ca_q_bn_stats:
             # saved alongside, like the reference's ckpt["ca_q_bns"]
             # (embedding_manager.py:1824-1838)
@@ -570,6 +888,13 @@ class AdaPromptTrainer:
         trees, meta = ckpt_mod.load_checkpoint(path)
         params = dict(self.state.params)
         params["subj_basis"] = trees["subj_basis"]
+        if "bg_basis" in trees and "bg_basis" in params:
+            params["bg_basis"] = trees["bg_basis"]
+        if "emb_scales" in trees:
+            params["emb_scales"] = jnp.asarray(trees["emb_scales"]["scores"])
+        # the frozen blend copy tracks the loaded (pre-training) weights
+        self._frozen_sbg_params = jax.tree.map(lambda x: x,
+                                               trees["subj_basis"])
         if "ca_q_bns" in trees:
             self.ca_q_bn_stats = {int(li): {k: np.asarray(a)
                                             for k, a in v.items()}

@@ -81,3 +81,40 @@ def test_warmup_cosine_schedule():
     assert abs(float(s(0)) - 0.01) < 1e-6
     assert abs(float(s(100)) - 1.0) < 1e-2
     np.testing.assert_allclose(float(s(1000)), 0.1, atol=1e-6)
+
+
+def test_multisteps_accum_matches_manual_accum():
+    """optax.MultiSteps(clip+Prodigy, k) must reproduce the reference's
+    manual gradient accumulation (ddpm.py:606-633): k micro-batch grads are
+    MEANED, clipped once, and fed to Prodigy as ONE pseudo-step — so
+    Prodigy's D adaptation sees the same gradient stream in both schemes."""
+    rng = np.random.default_rng(1)
+    k = 2
+    params = {"w": jnp.asarray(rng.standard_normal((4, 3)), jnp.float32)}
+    micro_grads = [
+        {"w": jnp.asarray(rng.standard_normal((4, 3)), jnp.float32)}
+        for _ in range(3 * k)]
+
+    inner = lambda: optax.chain(optax.clip_by_global_norm(0.5),
+                                prodigy(lr=1.0, betas=(0.9, 0.99)))
+
+    # ours: MultiSteps over every micro grad
+    tx = optax.MultiSteps(inner(), every_k_schedule=k)
+    st = tx.init(params)
+    p_ms = params
+    for g in micro_grads:
+        upd, st = tx.update(g, st, p_ms)
+        p_ms = optax.apply_updates(p_ms, upd)
+
+    # reference scheme: mean the k grads host-side, single optimizer step
+    tx2 = inner()
+    st2 = tx2.init(params)
+    p_ref = params
+    for i in range(0, len(micro_grads), k):
+        mean_g = jax.tree.map(
+            lambda *gs: sum(gs) / k, *micro_grads[i:i + k])
+        upd, st2 = tx2.update(mean_g, st2, p_ref)
+        p_ref = optax.apply_updates(p_ref, upd)
+
+    np.testing.assert_allclose(np.asarray(p_ms["w"]), np.asarray(p_ref["w"]),
+                               rtol=1e-6, atol=1e-6)

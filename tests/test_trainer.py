@@ -63,11 +63,12 @@ def test_trainer_two_steps(subject_tree, tmp_path):
 
     cfg = trainer_mod.TrainerConfig(
         max_steps=10, grad_accum=1, arc2face_distill_iter_prob=0.5,
-        num_denoising_steps_range=(1,), ckpt_every=100,
+        max_num_denoising_steps=1, ckpt_every=100,
         composition_regs_iter_gap=2,
         out_dir=str(tmp_path / "run"), compute_dtype="float32", seed=0)
     tr = trainer_mod.AdaPromptTrainer(frozen, vae_params, vcfg, tok, scfg,
-                                      sparams, it, cfg)
+                                      sparams, it, cfg,
+                                      synthetic_faces=True)
     seen = set()
     for i in range(4):
         m = tr.train_step(i)

@@ -57,7 +57,8 @@ def test_trainer_distributed_step(tmp_path):
                                     ckpt_every=100, out_dir=str(tmp_path / "run"),
                                     compute_dtype="float32", seed=0)
     tr = trainer_mod.AdaPromptTrainer(frozen, vae_params, vcfg, tok, scfg,
-                                      sparams, it, cfg)
+                                      sparams, it, cfg,
+                                      synthetic_faces=True)
     mesh = tr.distribute(fsdp=2)
     assert mesh.shape == {"dp": 4, "fsdp": 2}
     with mesh:

@@ -84,6 +84,14 @@ def parse_args(argv=None):
                    help="steps to run this invocation (default: max_steps)")
     p.add_argument("--num_workers", type=int, default=2,
                    help="data-loader worker threads (0 = synchronous)")
+    p.add_argument("--mode", type=str, default="zeroshot",
+                   choices=("zeroshot", "static"),
+                   help="zeroshot = train the SubjBasisGenerator (AdaFace); "
+                        "static = legacy per-subject textual-inversion "
+                        "embeddings (StaticLayerwiseEmbedding)")
+    p.add_argument("--static_rank", type=int, default=6,
+                   help="static mode: LoRA-style basis rank r")
+    p.add_argument("--num_vectors_per_subj_token", type=int, default=16)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of a few steps here")
     return p.parse_args(argv)
@@ -106,6 +114,62 @@ def build_trainer_config(args) -> trainer_mod.TrainerConfig:
     return trainer_mod.TrainerConfig(**{**base.__dict__, **overrides})
 
 
+def train_static(args, pipe, frozen):
+    """Legacy textual-inversion mode: per-subject StaticLayerwiseEmbedding
+    trained by masked reconstruction (embedding_manager.py:362-539)."""
+    import numpy as np
+    from adaprompt_tpu.adaface import conditioner as cond_mod
+    from adaprompt_tpu.adaface import static_embedder as se
+    from adaprompt_tpu.adaface import checkpoint as ckpt_mod
+    from adaprompt_tpu.models import vae as vae_mod
+
+    tok = pipe.tokenizer
+    cfg = build_trainer_config(args)
+    scfg = se.StaticEmbedderConfig(num_vectors=args.num_vectors_per_subj_token,
+                                   rank=args.static_rank)
+    params = {"static_emb": se.init_params(jax.random.PRNGKey(args.seed), scfg)}
+    optimizer = trainer_mod.build_optimizer(cfg)
+    state = steps_mod.create_train_state(params, optimizer)
+    step_fn = jax.jit(trainer_mod.make_static_recon_step(
+        optimizer, frozen, scfg,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32))
+
+    subjects = ds.scan_subject_folders(args.data_roots)
+    dset = ds.PersonalizedDataset(subjects, size=args.size, seed=args.seed,
+                                  num_vectors_per_subj_token=scfg.num_vectors)
+    it = ds.make_batch_iterator(dset, ds.SubjectSampler(subjects, seed=args.seed),
+                                batch_size=args.bs or 4,
+                                num_workers=args.num_workers)
+    spec = cond_mod.make_placeholders(tok, ("z",), (),
+                                      num_vectors_subj=scfg.num_vectors)[0]
+    encode = jax.jit(lambda imgs: vae_mod.encode(
+        pipe.params.vae, imgs, cfg=pipe.vae_cfg)[0] * 0.18215)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    key = jax.random.PRNGKey(args.seed)
+    n = args.num_steps or cfg.max_steps
+    for i in range(n):
+        raw = next(it)
+        imgs = jnp.asarray(raw["image"], jnp.bfloat16 if args.bf16 else jnp.float32)
+        ids = tok([c for c in raw["caption"]])
+        bi, pos = cond_mod.find_placeholder_indices(ids, spec)
+        b = imgs.shape[0]
+        batch = {"z0": encode(imgs).astype(jnp.float32),
+                 "caption_ids": jnp.asarray(ids),
+                 "subj_bi": jnp.asarray(bi if len(bi) == b else np.arange(b), jnp.int32),
+                 "subj_pos": jnp.asarray(pos if len(pos) == b else np.full(b, 1), jnp.int32),
+                 "fg_mask": None, "aug_mask": None,
+                 "skip_weights": jnp.asarray([0.5, 0.5], jnp.float32)}
+        key, k = jax.random.split(key)
+        state, metrics = step_fn(state, batch, k)
+        if (i + 1) % cfg.ckpt_every == 0 or i == n - 1:
+            ckpt_mod.save_checkpoint(
+                os.path.join(args.out_dir, f"static_emb_gs-{i + 1}.npz"),
+                {"static_emb": state.params["static_emb"]},
+                meta={"step": i + 1, "mode": "static"})
+        print(f"step {i}: loss {float(metrics['loss_recon']):.4f}")
+
+
 def main(argv=None):
     args = parse_args(argv)
     pipe = common.load_pipeline(args)
@@ -126,6 +190,9 @@ def main(argv=None):
         arc2face_text=a2f_text, teacher_unet=teacher_unet,
         unet_cfg=pipe.unet_cfg, text_cfg=pipe.text_cfg,
         arc2face_text_cfg=pipe.text_cfg)
+
+    if args.mode == "static":
+        return train_static(args, pipe, frozen)
 
     scfg = sbg.SubjBasisConfig(placeholder_is_bg=False, text_cfg=pipe.text_cfg)
     sbg_params = sbg.init_params(jax.random.PRNGKey(args.seed), scfg)

@@ -262,3 +262,21 @@ def clip_teachability(clip_loss_cls_comp: jax.Array,
     CLIP loss <= 0.28 and (subj_loss - cls_loss) > 0.002."""
     return (clip_loss_cls_comp <= CLIP_LOSS_THRESHOLD) & \
            (clip_loss_subj_comp - clip_loss_cls_comp > CLIP_LOSS_MARGIN)
+
+
+def select_teachable_candidate(loss_subj_comp, loss_cls_comp):
+    """N-candidate teacher selection (calc_clip_losses, ddpm.py:3652-3681):
+    per-candidate teachability via clip_teachability; among teachable
+    candidates pick the one with the LARGEST subj-cls loss margin
+    (non-teachable margins are forced to -1e4 before the argmax).
+
+    Args: per-candidate losses [N]. Returns (is_teachable: bool,
+    best_cand_idx: int) — host values."""
+    import numpy as np
+    loss_subj = np.asarray(loss_subj_comp, np.float64).reshape(-1)
+    loss_cls = np.asarray(loss_cls_comp, np.float64).reshape(-1)
+    diffs = loss_subj - loss_cls
+    teachable = (loss_cls <= CLIP_LOSS_THRESHOLD) & (diffs > CLIP_LOSS_MARGIN)
+    if not teachable.any():
+        return False, 0
+    return True, int(np.argmax(np.where(teachable, diffs, -1e4)))

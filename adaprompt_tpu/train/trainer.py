@@ -246,6 +246,57 @@ def make_zs_recon_step(optimizer, frozen: steps_mod.FrozenSD, tokenizer,
     return step
 
 
+def make_static_recon_step(optimizer, frozen: steps_mod.FrozenSD, static_cfg,
+                           *, num_ca_layers: int = 16, sched=SD15_SCHEDULE,
+                           compute_dtype=jnp.bfloat16):
+    """Legacy textual-inversion recon step: the trainable
+    StaticLayerwiseEmbedding (adaface/static_embedder.py,
+    embedding_manager.py:362-539) generates per-subject layerwise
+    embeddings from learned bases — no face image, no SubjBasisGenerator
+    (the reference's non-zero-shot AdaPrompt mode).
+
+    Trainable pytree: {'static_emb': static_embedder params}.
+    batch: {'z0', 'caption_ids', 'subj_bi', 'subj_pos', 'fg_mask',
+            'aug_mask', 'skip_weights'}.
+    """
+    from adaprompt_tpu.adaface import static_embedder as se
+
+    K = static_cfg.num_vectors
+
+    def loss_fn(trainable, batch, key):
+        z0 = batch["z0"]
+        b = z0.shape[0]
+        kt, kn = jax.random.split(key)
+        t = jax.random.randint(kt, (b,), 0, sched.num_timesteps)
+        noise = jax.random.normal(kn, z0.shape, jnp.float32)
+        embs = se.forward(trainable["static_emb"], static_cfg)   # [L, K, D]
+        subj_embs = jnp.tile(embs[None], (b, 1, 1, 1))           # [B, L, K, D]
+        ctx = cond_mod.encode_spliced(
+            frozen.text, batch["caption_ids"],
+            [(subj_embs, batch["subj_bi"], batch["subj_pos"], K)],
+            batch["skip_weights"], num_ca_layers, frozen.text_cfg,
+            layerwise=True)
+        z_t = q_sample(sched, z0, t, noise)
+        eps = unet_mod.forward(frozen.unet, z_t.astype(compute_dtype), t,
+                               ctx.astype(compute_dtype),
+                               img_mask=batch.get("aug_mask"),
+                               cfg=frozen.unet_cfg).astype(jnp.float32)
+        loss = calc_recon_loss(eps, noise, batch.get("aug_mask"),
+                               batch.get("fg_mask"), fg_pixel_weight=1.0,
+                               bg_pixel_weight=0.1)
+        return loss, {"loss_recon": loss, "loss": loss}
+
+    def step(state, batch, key):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return steps_mod.TrainState(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
 class AdaPromptTrainer:
     """Host loop: iteration-type state machine + batch prep + logging."""
 
@@ -646,15 +697,11 @@ class AdaPromptTrainer:
             [prompt] * (2 * n), np.asarray(imgs), reduction="diag")
         losses = 0.5 - np.asarray(sims).reshape(-1)
         loss_subj, loss_mix = losses[:n], losses[n:]
-        diffs = loss_subj - loss_mix
-        # thresholds: ddpm.py:3652-3666
-        teachable = (loss_mix <= 0.28) & (diffs > 0.002)
         metrics = {"loss_clip_subj_comp": float(loss_subj.mean()),
                    "loss_clip_cls_comp": float(loss_mix.mean())}
-        if not teachable.any():
-            return False, 0, metrics
-        best = int(np.argmax(np.where(teachable, diffs, -1e4)))
-        return True, best, metrics
+        from adaprompt_tpu.train.compos import select_teachable_candidate
+        teachable, best = select_teachable_candidate(loss_subj, loss_mix)
+        return teachable, best, metrics
 
     def _log_teachable(self, metrics: dict, teachable: bool, reuse: bool):
         """teachable-fraction counters (ddpm.py:3681-3688)."""

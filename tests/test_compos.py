@@ -104,3 +104,26 @@ def test_clip_teachability():
     t = jc.clip_teachability(jnp.asarray([0.2, 0.3, 0.27]),
                              jnp.asarray([0.25, 0.35, 0.27]))
     np.testing.assert_array_equal(np.asarray(t), [True, False, False])
+
+
+def test_select_teachable_candidate_reference_semantics():
+    """Scripted-scorer reproduction of the reference's teachable decisions
+    (calc_clip_losses, ddpm.py:3649-3681)."""
+    from adaprompt_tpu.train.compos import select_teachable_candidate
+
+    # neither candidate qualifies: cls loss above 0.28
+    ok, _ = select_teachable_candidate([0.40, 0.41], [0.30, 0.35])
+    assert not ok
+    # margin must exceed 0.002 (subj loss must be WORSE than cls)
+    ok, _ = select_teachable_candidate([0.2700, 0.2701], [0.270, 0.270])
+    assert not ok
+    # candidate 1 qualifies with the larger margin
+    ok, best = select_teachable_candidate([0.30, 0.35], [0.27, 0.25])
+    assert ok and best == 1
+    # the larger-margin candidate is NOT teachable (cls too high) -> pick
+    # the teachable one even though its margin is smaller
+    ok, best = select_teachable_candidate([0.50, 0.30], [0.30, 0.27])
+    assert ok and best == 1
+    # single-candidate (reuse-iteration) path
+    ok, best = select_teachable_candidate([0.30], [0.27])
+    assert ok and best == 0

@@ -106,3 +106,93 @@ def test_arc2face_distill_step(env, nd):
     # second step with a different ND-compiled variant still runs
     state3, metrics = step(state2, batch, jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics["loss_arc2face_distill"]))
+
+
+def test_static_recon_step(env):
+    """Legacy textual-inversion mode: StaticLayerwiseEmbedding trained by
+    masked recon (embedding_manager.py:362-539 wiring)."""
+    from adaprompt_tpu.adaface import static_embedder as se
+    from adaprompt_tpu.adaface import conditioner as cond_mod
+    from adaprompt_tpu.train import trainer as trainer_mod
+
+    tok, frozen, scfg, _ = env
+    static_cfg = se.StaticEmbedderConfig(num_vectors=4, rank=3,
+                                         out_emb_dim=HIDDEN)
+    optimizer = prodigy(lr=1.0)
+    trainable = {"static_emb": se.init_params(jax.random.PRNGKey(5), static_cfg)}
+    state = steps_mod.create_train_state(trainable, optimizer)
+    step = jax.jit(trainer_mod.make_static_recon_step(
+        optimizer, frozen, static_cfg, compute_dtype=jnp.float32))
+
+    specs = cond_mod.make_placeholders(tok, ("z",), (), num_vectors_subj=4)
+    ids = tok(["a photo of a z person", "a z in the park"], max_length=77)
+    bi, pos = cond_mod.find_placeholder_indices(ids, specs[0])
+    rng = np.random.default_rng(2)
+    batch = {"z0": jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32),
+             "caption_ids": jnp.asarray(ids),
+             "subj_bi": jnp.asarray(bi, jnp.int32),
+             "subj_pos": jnp.asarray(pos, jnp.int32),
+             "fg_mask": None, "aug_mask": None,
+             "skip_weights": jnp.asarray([0.5, 0.5], jnp.float32)}
+    state2, metrics = step(state, batch, jax.random.PRNGKey(6))
+    assert np.isfinite(float(metrics["loss_recon"]))
+    moved = not np.allclose(
+        np.asarray(state.params["static_emb"]["basis_rand_weights"]),
+        np.asarray(state2.params["static_emb"]["basis_rand_weights"]))
+    assert moved
+
+
+def test_zs_recon_step_with_bg_and_regs(env):
+    """BG-token branch + fg/bg attention regularizers in the recon step
+    (embedding_manager.py:1148-1178; ddpm.py:3459-3530)."""
+    from adaprompt_tpu.adaface import conditioner as cond_mod
+    from adaprompt_tpu.train import trainer as trainer_mod
+
+    tok, frozen, scfg, sparams = env
+    bg_cfg = sbg.SubjBasisConfig(placeholder_is_bg=True, output_dim=HIDDEN,
+                                 num_out_embs_per_layer=2, num_id_vecs_bg=10,
+                                 image_embedding_dim=24, text_cfg=scfg.text_cfg)
+    optimizer = prodigy(lr=1.0)
+    trainable = {"subj_basis": sparams,
+                 "bg_basis": sbg.init_params(jax.random.PRNGKey(7), bg_cfg),
+                 "emb_scales": jnp.zeros((2,), jnp.float32)}
+    state = steps_mod.create_train_state(trainable, optimizer)
+    step = jax.jit(trainer_mod.make_zs_recon_step(
+        optimizer, frozen, tok, scfg, bg_basis_cfg=bg_cfg, use_bg=True,
+        fgbg_reg=True, compute_dtype=jnp.float32))
+
+    specs = cond_mod.make_placeholders(
+        tok, ("z",), ("y",), num_vectors_subj=scfg.num_out_embs_per_layer,
+        num_vectors_bg=2)
+    ids = tok(["a photo of a z person with background y",
+               "a z person with background y"], max_length=77)
+    bi, pos = cond_mod.find_placeholder_indices(ids, specs[0])
+    bbi, bpos = cond_mod.find_placeholder_indices(ids, specs[1])
+    rng = np.random.default_rng(3)
+    faceid = rng.standard_normal((2, 512)).astype(np.float32)
+    faceid /= np.linalg.norm(faceid, axis=-1, keepdims=True)
+    batch = {"z0": jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32),
+             "faceid": jnp.asarray(faceid),
+             "caption_ids": jnp.asarray(ids),
+             "subj_bi": jnp.asarray(bi, jnp.int32),
+             "subj_pos": jnp.asarray(pos, jnp.int32),
+             "bg_bi": jnp.asarray(bbi, jnp.int32),
+             "bg_pos": jnp.asarray(bpos, jnp.int32),
+             "clip_features": jnp.asarray(
+                 rng.standard_normal((2, 10, 24)), jnp.float32),
+             "fg_mask": jnp.asarray((rng.random((2, 8, 8, 1)) > 0.4), jnp.float32),
+             "aug_mask": None,
+             "skip_weights": jnp.asarray([0.5, 0.5], jnp.float32),
+             "emb_noise_std": jnp.asarray(0.03, jnp.float32),
+             "emb_scale_perturb": jnp.asarray([1.1, 0.9], jnp.float32)}
+    state2, metrics = step(state, batch, jax.random.PRNGKey(8))
+    for k in ("loss_recon", "loss_fg_bg_complementary", "loss_subj_mb_suppress",
+              "loss_fg_xlayer_consist"):
+        assert np.isfinite(float(metrics[k])), k
+    # the bg basis generator must receive gradient
+    b0 = state.params["bg_basis"]["bg_proj_in"]["kernel"]
+    b1 = state2.params["bg_basis"]["bg_proj_in"]["kernel"]
+    assert not np.allclose(np.asarray(b0), np.asarray(b1))
+    # global scale scores must receive gradient too
+    assert not np.allclose(np.asarray(state.params["emb_scales"]),
+                           np.asarray(state2.params["emb_scales"]))

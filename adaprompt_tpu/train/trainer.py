@@ -69,6 +69,9 @@ class TrainerConfig:
     skip_weights: tuple = (1.0, 2.0, 2.0)
     randomize_clip_skip: bool = True         # Dirichlet-sampled per iter
     num_candidate_teachers: int = 2          # yaml:31
+    # fg/bg attention regularizers on recon iters (yaml:48,50); disable for
+    # lightweight smoke/mesh tests
+    fgbg_reg: bool = True
     use_ema: bool = False                    # ema.py port; off in ref (yaml:25)
     ema_decay: float = 0.9999
     seed: int = 0
@@ -849,7 +852,8 @@ class AdaPromptTrainer:
         else:
             # fg/bg attention regularizers run on recon iters
             # (calc_recon_and_complem_losses, ddpm.py:3459-3530)
-            step_fn = self._get_recon_step(use_bg=use_bg, fgbg_reg=True)
+            step_fn = self._get_recon_step(use_bg=use_bg,
+                                           fgbg_reg=self.cfg.fgbg_reg)
             self.state, metrics = step_fn(self.state, batch, self._next_key())
             metrics["iter_type"] = "recon_bg" if use_bg else "recon"
 
@@ -957,7 +961,10 @@ class AdaPromptTrainer:
         import numpy as np
         flat = {}
         for name, tree in self.state.params.items():
-            flat.update(ckpt_mod._flatten(tree, f"params.{name}/"))
+            if hasattr(tree, "shape"):   # bare array param (emb_scales)
+                flat[f"params.{name}"] = np.asarray(tree)
+            else:
+                flat.update(ckpt_mod._flatten(tree, f"params.{name}/"))
         ckpt_mod.save_pytree_leaves("optstate", self.state.opt_state, flat)
         flat["__meta__"] = np.frombuffer(
             json.dumps({"step": step}).encode(), dtype=np.uint8)
@@ -973,10 +980,15 @@ class AdaPromptTrainer:
         param_flat = {k[len("params."):]: v for k, v in flat.items()
                       if k.startswith("params.")}
         groups: dict = {}
+        arrays: dict = {}
         for k, v in param_flat.items():
+            if "/" not in k:             # bare array param (emb_scales)
+                arrays[k] = jnp.asarray(v)
+                continue
             name, rest = k.split("/", 1)
             groups.setdefault(name, {})[rest] = v
         params = {name: ckpt_mod._unflatten(g) for name, g in groups.items()}
+        params.update(arrays)
         opt_template = self.optimizer.init(params)
         opt_state = ckpt_mod.load_pytree_leaves("optstate", opt_template, flat)
         self.state = steps_mod.TrainState(params=params, opt_state=opt_state,

@@ -51,9 +51,13 @@ def test_trainer_distributed_step(tmp_path):
     it = ds.make_batch_iterator(dset, ds.SubjectSampler(subjects, seed=0),
                                 batch_size=8)  # divisible by dp=4
 
+    # fgbg_reg off: the attention-regularizer graph makes the 8-thread CPU
+    # collective rendezvous starve under parallel test load (covered
+    # single-program by test_train_steps.test_zs_recon_step_with_bg_and_regs)
     cfg = trainer_mod.TrainerConfig(max_steps=10, grad_accum=1,
                                     arc2face_distill_iter_prob=0.0,
                                     composition_regs_iter_gap=0,
+                                    fgbg_reg=False,
                                     ckpt_every=100, out_dir=str(tmp_path / "run"),
                                     compute_dtype="float32", seed=0)
     tr = trainer_mod.AdaPromptTrainer(frozen, vae_params, vcfg, tok, scfg,

@@ -24,3 +24,15 @@ def _assert_cpu_mesh():
     devs = jax.devices()
     assert devs[0].platform == "cpu", devs
     assert len(devs) == 8, devs
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The suite compiles hundreds of programs; on the 8-virtual-device CPU
+    backend the accumulated executables + their thread pools can starve the
+    collective rendezvous in later modules (observed as a hard abort in the
+    distributed trainer test when run late in the suite)."""
+    yield
+    jax.clear_caches()

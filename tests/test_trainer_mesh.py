@@ -1,70 +1,102 @@
-"""Trainer over the 8-device virtual mesh: distribute() + sharded steps."""
+"""Trainer over the 8-device virtual mesh: distribute() + sharded steps.
 
-import numpy as np
+Runs in a SUBPROCESS: the XLA:CPU collective rendezvous wedges when this
+executes late in a long pytest session (accumulated executables/thread
+pools starve the 8-thread rendezvous and the runtime aborts), while the
+identical program passes in a fresh interpreter. The driver-facing
+equivalent is __graft_entry__.dryrun_multichip, which always runs fresh.
+"""
+
+import os
+import subprocess
+import sys
+
 import pytest
+
+_BODY = r"""
+import os
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+    " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import sys
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, {tests!r})
 import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
 import jax.numpy as jnp
 from PIL import Image
-
+import pathlib
 from adaprompt_tpu.adaface import subj_basis_generator as sbg
 from adaprompt_tpu.data import dataset as ds
 from adaprompt_tpu.models import clip_text, unet as unet_mod, vae as vae_mod
 from adaprompt_tpu.train import steps as steps_mod
 from adaprompt_tpu.train import trainer as trainer_mod
-
 from adaface_fixtures import build_word_vocab
 
-HIDDEN = 576
-IMG = 32
+HIDDEN, IMG = 576, 32
+tmp_path = pathlib.Path({tmp!r})
+tok = build_word_vocab(tmp_path)
+tcfg = clip_text.CLIPTextConfig(vocab_size=50000, hidden_size=HIDDEN,
+                                intermediate_size=HIDDEN * 2, num_layers=2,
+                                num_heads=8, eos_token_id=tok.eos_id)
+ucfg = unet_mod.UNetConfig(model_channels=32, channel_mult=(1, 2),
+                           num_res_blocks=1, attention_ds=(1, 2),
+                           num_heads=4, context_dim=HIDDEN,
+                           use_checkpoint=False)
+vcfg = vae_mod.VAEConfig(ch=32, ch_mult=(1, 2, 4), num_res_blocks=1)
+keys = jax.random.split(jax.random.PRNGKey(0), 5)
+frozen = steps_mod.FrozenSD(
+    unet=unet_mod.init_params(keys[0], ucfg),
+    text=clip_text.init_params(keys[1], tcfg),
+    arc2face_text=clip_text.init_params(keys[2], tcfg),
+    teacher_unet=unet_mod.init_params(keys[3], ucfg),
+    unet_cfg=ucfg, text_cfg=tcfg, arc2face_text_cfg=tcfg)
+scfg = sbg.SubjBasisConfig(placeholder_is_bg=False, output_dim=HIDDEN,
+                           text_cfg=tcfg)
+sparams = sbg.init_params(keys[4], scfg)
+vae_params = vae_mod.init_params(jax.random.PRNGKey(9), vcfg)
+
+root = tmp_path / "subjects" / "alice"
+root.mkdir(parents=True)
+rng = np.random.default_rng(0)
+for i in range(2):
+    Image.fromarray(rng.integers(0, 255, (IMG, IMG, 3), dtype=np.uint8)
+                    ).save(root / f"i{{i}}.jpg")
+subjects = ds.scan_subject_folders(str(tmp_path / "subjects"))
+dset = ds.PersonalizedDataset(subjects, size=IMG, seed=0,
+                              num_vectors_per_subj_token=16)
+it = ds.make_batch_iterator(dset, ds.SubjectSampler(subjects, seed=0),
+                            batch_size=8)  # divisible by dp=4
+
+cfg = trainer_mod.TrainerConfig(max_steps=10, grad_accum=1,
+                                arc2face_distill_iter_prob=0.0,
+                                composition_regs_iter_gap=0,
+                                fgbg_reg=False,
+                                ckpt_every=100, out_dir=str(tmp_path / "run"),
+                                compute_dtype="float32", seed=0)
+tr = trainer_mod.AdaPromptTrainer(frozen, vae_params, vcfg, tok, scfg,
+                                  sparams, it, cfg, synthetic_faces=True)
+mesh = tr.distribute(fsdp=2)
+assert dict(mesh.shape) == {{"dp": 4, "fsdp": 2}}, mesh.shape
+with mesh:
+    m = tr.train_step(0)
+assert np.isfinite(m["loss_recon"]), m
+# full-state save/load round-trip under the mesh (bare-array params incl.)
+p = tr.save_full_state(1)
+tr.load_full_state(p)
+print("MESH_OK", m["loss_recon"])
+"""
 
 
+@pytest.mark.slow
 def test_trainer_distributed_step(tmp_path):
-    tok = build_word_vocab(tmp_path)
-    tcfg = clip_text.CLIPTextConfig(vocab_size=50000, hidden_size=HIDDEN,
-                                    intermediate_size=HIDDEN * 2, num_layers=2,
-                                    num_heads=8, eos_token_id=tok.eos_id)
-    ucfg = unet_mod.UNetConfig(model_channels=32, channel_mult=(1, 2),
-                               num_res_blocks=1, attention_ds=(1, 2),
-                               num_heads=4, context_dim=HIDDEN,
-                               use_checkpoint=False)
-    vcfg = vae_mod.VAEConfig(ch=32, ch_mult=(1, 2, 4), num_res_blocks=1)
-    keys = jax.random.split(jax.random.PRNGKey(0), 5)
-    frozen = steps_mod.FrozenSD(
-        unet=unet_mod.init_params(keys[0], ucfg),
-        text=clip_text.init_params(keys[1], tcfg),
-        arc2face_text=clip_text.init_params(keys[2], tcfg),
-        teacher_unet=unet_mod.init_params(keys[3], ucfg),
-        unet_cfg=ucfg, text_cfg=tcfg, arc2face_text_cfg=tcfg)
-    scfg = sbg.SubjBasisConfig(placeholder_is_bg=False, output_dim=HIDDEN,
-                               text_cfg=tcfg)
-    sparams = sbg.init_params(keys[4], scfg)
-    vae_params = vae_mod.init_params(jax.random.PRNGKey(9), vcfg)
-
-    root = tmp_path / "subjects" / "alice"
-    root.mkdir(parents=True)
-    rng = np.random.default_rng(0)
-    for i in range(2):
-        Image.fromarray(rng.integers(0, 255, (IMG, IMG, 3), dtype=np.uint8)).save(root / f"i{i}.jpg")
-    subjects = ds.scan_subject_folders(str(tmp_path / "subjects"))
-    dset = ds.PersonalizedDataset(subjects, size=IMG, seed=0,
-                                  num_vectors_per_subj_token=16)
-    it = ds.make_batch_iterator(dset, ds.SubjectSampler(subjects, seed=0),
-                                batch_size=8)  # divisible by dp=4
-
-    # fgbg_reg off: the attention-regularizer graph makes the 8-thread CPU
-    # collective rendezvous starve under parallel test load (covered
-    # single-program by test_train_steps.test_zs_recon_step_with_bg_and_regs)
-    cfg = trainer_mod.TrainerConfig(max_steps=10, grad_accum=1,
-                                    arc2face_distill_iter_prob=0.0,
-                                    composition_regs_iter_gap=0,
-                                    fgbg_reg=False,
-                                    ckpt_every=100, out_dir=str(tmp_path / "run"),
-                                    compute_dtype="float32", seed=0)
-    tr = trainer_mod.AdaPromptTrainer(frozen, vae_params, vcfg, tok, scfg,
-                                      sparams, it, cfg,
-                                      synthetic_faces=True)
-    mesh = tr.distribute(fsdp=2)
-    assert mesh.shape == {"dp": 4, "fsdp": 2}
-    with mesh:
-        m = tr.train_step(0)
-    assert np.isfinite(m["loss_recon"])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    body = _BODY.format(repo=repo, tests=os.path.join(repo, "tests"),
+                        tmp=str(tmp_path))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    res = subprocess.run([sys.executable, "-c", body], env=env,
+                         capture_output=True, text=True, timeout=1500)
+    assert res.returncode == 0, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-3000:]}"
+    assert "MESH_OK" in res.stdout

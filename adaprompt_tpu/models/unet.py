@@ -479,7 +479,25 @@ def _cross_attention(p: dict, x: jax.Array, ctx_v: jax.Array, ctx_k: jax.Array,
     return out, None
 
 
+import os as _os
+
+# differential profiling: comma-list of {self,cross,ff} ops to replace with
+# cheap stand-ins, e.g. ADAPROMPT_ABLATE=self,ff python bench.py — the
+# bench delta attributes end-to-end time per op class (tools/perf_probe.py)
+_ABLATE = frozenset(filter(None, _os.environ.get("ADAPROMPT_ABLATE", "").split(",")))
+
+
 def _geglu_ff(p: dict, x: jax.Array) -> jax.Array:
+    if "ff" in _ABLATE:
+        return x
+    if jax.default_backend() not in ("cpu",):
+        from adaprompt_tpu.ops.geglu import fused_eligible, geglu
+        if fused_eligible(x, p["proj"]["kernel"]):
+            # fused proj->gelu-gate->out Pallas kernel: the [M, 8C] and
+            # [M, 4C] intermediates stay in VMEM (~3x less HBM traffic;
+            # the FF stack is ~26% of DDIM time, docs/PERF.md)
+            return geglu(x, p["proj"]["kernel"], p["proj"]["bias"],
+                         p["out"]["kernel"], p["out"]["bias"])
     h = linear(x, p["proj"]["kernel"], p["proj"]["bias"])
     a, gate = jnp.split(h, 2, axis=-1)
     h = a * jax.nn.gelu(gate, approximate=False)
@@ -502,14 +520,18 @@ def _spatial_transformer(p: dict, x: jax.Array, ctx_v, ctx_k, num_heads: int,
         from adaprompt_tpu.models.vae import _resize_mask_nearest
         self_mask = _resize_mask_nearest(img_mask, (h, w)).reshape(b, h * w)
 
-    a1, _ = _cross_attention(bp["attn1"], layer_norm(y, bp["norm1"]["scale"], bp["norm1"]["bias"]),
-                             None, None, num_heads, self_mask=self_mask)
-    y = y + a1
-    a2, cached = _cross_attention(bp["attn2"], layer_norm(y, bp["norm2"]["scale"], bp["norm2"]["bias"]),
-                                  ctx_v, ctx_k, num_heads, capture=capture,
-                                  kv=kv, conv_attn=conv_attn,
-                                  infeat_size=(h, w))
-    y = y + a2
+    if "self" not in _ABLATE:
+        a1, _ = _cross_attention(bp["attn1"], layer_norm(y, bp["norm1"]["scale"], bp["norm1"]["bias"]),
+                                 None, None, num_heads, self_mask=self_mask)
+        y = y + a1
+    if "cross" not in _ABLATE:
+        a2, cached = _cross_attention(bp["attn2"], layer_norm(y, bp["norm2"]["scale"], bp["norm2"]["bias"]),
+                                      ctx_v, ctx_k, num_heads, capture=capture,
+                                      kv=kv, conv_attn=conv_attn,
+                                      infeat_size=(h, w))
+        y = y + a2
+    else:
+        cached = None
     y = y + _geglu_ff(bp["ff"], layer_norm(y, bp["norm3"]["scale"], bp["norm3"]["bias"]))
 
     y = y.reshape(b, h, w, c)

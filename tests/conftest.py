@@ -36,3 +36,21 @@ def _clear_jax_caches_per_module():
     distributed trainer test when run late in the suite)."""
     yield
     jax.clear_caches()
+
+
+# fast/slow tiers: these modules dominate the suite wall-clock (measured
+# with --durations on a quiet host); `pytest -m 'not slow'` = fast tier
+_SLOW_FILES = {
+    "test_trainer_mesh.py", "test_trainer.py", "test_unet.py",
+    "test_pipeline.py", "test_cli.py", "test_compos_step.py",
+    "test_train_steps.py", "test_conditioner.py", "test_vae.py",
+    "test_diffusers_port.py", "test_bisenet.py", "test_arcface.py",
+    "test_face_tools.py", "test_eval.py", "test_checkpoint.py",
+    "test_attention.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _SLOW_FILES:
+            item.add_marker(pytest.mark.slow)

@@ -40,10 +40,33 @@ def amortized(fn, args, n=20):
     return best
 
 
+def calibrate():
+    """Peak-rate calibration: chained big matmuls, no elementwise between."""
+    for n in (4096, 8192):
+        a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
+        b = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
+
+        def chain(a, b):
+            c = a
+            for _ in range(8):
+                c = jnp.dot(c, b, preferred_element_type=jnp.bfloat16)
+            return c
+        f = jax.jit(chain)
+        sync(f(a, b))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = f(a, b)
+            sync(out)
+            best = min(best, (time.perf_counter() - t0) / 8 * 1000)
+        print(f"matmul {n}^3 bf16: {best:.3f} ms ({2*n**3/best/1e9:.1f} TF/s)")
+
+
 def main():
     from adaprompt_tpu.ops import attention as attn
 
     print("devices:", jax.devices())
+    calibrate()
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     shapes = [(4096, 4096, 8, 40, "L1self"),
               (4096, 77, 8, 40, "L1cross"),
@@ -78,6 +101,8 @@ def main():
                 t = amortized(lambda q, k, v: attn.flash_attention(
                     q, k, v, None, scale, False), (q, k, v))
                 print(f"{tag:8s} flash bq={bq:<5d} {t:7.3f} ms ({flops/t/1e9:6.1f} TF/s)")
+            except Exception as e:
+                print(f"{tag:8s} flash bq={bq:<5d} FAILED: {str(e)[:80]}")
             finally:
                 attn._pick_block = orig
 

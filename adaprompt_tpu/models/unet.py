@@ -69,7 +69,12 @@ class UNetConfig:
         return self.model_channels * 4
 
 
-SD15_UNET_CONFIG = UNetConfig()
+import os as _os0
+
+# perf knob: ADAPROMPT_FUSED_CONV=1 enables the Pallas GN-SiLU-conv halo
+# kernel for the default config (ops/conv_halo.py; see docs/PERF.md)
+SD15_UNET_CONFIG = UNetConfig(
+    fused_conv=bool(_os0.environ.get("ADAPROMPT_FUSED_CONV")))
 
 
 def timestep_embedding(timesteps: jax.Array, dim: int, max_period: int = 10000) -> jax.Array:
@@ -432,6 +437,15 @@ def _cross_attention(p: dict, x: jax.Array, ctx_v: jax.Array, ctx_k: jax.Array,
     b, n, c = x.shape
     hd = c // num_heads
     scale = hd ** -0.5
+    if (kv is not None and not capture and conv_attn is None
+            and n >= 512 and jax.default_backend() not in ("cpu",)):
+        # sampler fast path: fused q-proj+attn+out-proj kernel over the
+        # tiny precomputed context K/V (ops/attention.py)
+        from adaprompt_tpu.ops.attention import fused_cross_attention
+        return fused_cross_attention(
+            x, p["to_q"]["kernel"], kv[0], kv[1],
+            p["to_out"]["kernel"], p["to_out"]["bias"], scale,
+            num_heads), None
     if ctx_v is None:  # self-attention
         ctx_v = ctx_k = x
     q = linear(x, p["to_q"]["kernel"]).reshape(b, n, num_heads, hd)
@@ -521,7 +535,13 @@ def _spatial_transformer(p: dict, x: jax.Array, ctx_v, ctx_k, num_heads: int,
         self_mask = _resize_mask_nearest(img_mask, (h, w)).reshape(b, h * w)
 
     if "self" not in _ABLATE:
-        a1, _ = _cross_attention(bp["attn1"], layer_norm(y, bp["norm1"]["scale"], bp["norm1"]["bias"]),
+        # NOTE: a fused qkv+attn+out self-attention kernel exists
+        # (ops/attention.fused_self_attention) but measured net-NEGATIVE
+        # end-to-end (1.03 vs 1.11 img/s): the per-head lane slicing of the
+        # VMEM-resident K/V outweighs the transpose traffic it saves.
+        # The separate flash kernel stays the self-attention path.
+        a1, _ = _cross_attention(bp["attn1"],
+                                 layer_norm(y, bp["norm1"]["scale"], bp["norm1"]["bias"]),
                                  None, None, num_heads, self_mask=self_mask)
         y = y + a1
     if "cross" not in _ABLATE:

@@ -348,6 +348,144 @@ def _flash_vjp_bwd(scale, interpret, res, g):
 flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused small-KV cross-attention (sampler path): q-projection + scores +
+# softmax + PV + out-projection in ONE kernel. The text context K/V are
+# precomputed per prompt (unet.precompute_cross_kv) and tiny (77 tokens),
+# so everything but x and the output stays in VMEM — the unfused chain
+# makes ~4 extra HBM round trips of the [B, 4096, C] activations, and the
+# pipeline is bandwidth-bound there (docs/PERF.md ablation: ~18% of DDIM
+# time in cross-attention).
+# ---------------------------------------------------------------------------
+
+def _fused_cross_kernel(x_ref, wq_ref, k_ref, v_ref, wo_ref, bo_ref, o_ref,
+                        *, scale, heads):
+    x = x_ref[:]                                      # [bn, C]
+    q = jnp.dot(x, wq_ref[:],
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    hd = q.shape[-1] // heads
+    outs = []
+    for h in range(heads):
+        q_h = q[:, h * hd:(h + 1) * hd]
+        k_h = k_ref[h]                                # [S, hd]
+        s = jnp.dot(q_h, k_h.T,
+                    preferred_element_type=jnp.float32) * scale   # [bn, S]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jnp.dot(p.astype(x.dtype), v_ref[h],
+                            preferred_element_type=jnp.float32))
+    o = jnp.concatenate(outs, axis=-1).astype(x.dtype)  # [bn, C]
+    out = jnp.dot(o, wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:]
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def fused_cross_attention(x, wq, k, v, wo, bo, scale, num_heads,
+                          interpret=False):
+    """x [B, N, C] (pre-normed); wq [C, C]; k/v [B, S, H, hd] (precomputed);
+    wo [C, C]; bo [C]. Returns [B, N, C] (attention output AFTER the out
+    projection; add the residual outside). Forward-only (sampler path)."""
+    b, n, c = x.shape
+    s = k.shape[1]
+    kt = k.transpose(0, 2, 1, 3)                       # [B, H, S, hd] (tiny)
+    vt = v.transpose(0, 2, 1, 3)
+    block_n = 512
+    while n % block_n:
+        block_n //= 2
+    out = pl.pallas_call(
+        functools.partial(_fused_cross_kernel, scale=scale, heads=num_heads),
+        grid=(b, n // block_n),
+        in_specs=[
+            pl.BlockSpec((None, block_n, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((None, num_heads, s, k.shape[-1]),
+                         lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((None, num_heads, s, v.shape[-1]),
+                         lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((c,), lambda i, j: (0,)),
+        ],
+        out_specs=pl.BlockSpec((None, block_n, c), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        interpret=interpret,
+    )(x, wq, kt, vt, wo, bo.astype(jnp.float32))
+    return out
+
+
+def _fused_self_kernel(x_ref, wq_ref, kv_ref, wo_ref, bo_ref, b_ref,
+                       o_ref, *, scale, heads, has_bias):
+    x = x_ref[:]                                      # [bn, C]
+    c = x.shape[-1]
+    q = jnp.dot(x, wq_ref[:],
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    hd = c // heads
+    kv = kv_ref[:]                                    # [S, 2C] resident VMEM
+    outs = []
+    for h in range(heads):
+        q_h = q[:, h * hd:(h + 1) * hd]
+        k_h = kv[:, h * hd:(h + 1) * hd]              # [S, hd]
+        v_h = kv[:, c + h * hd:c + (h + 1) * hd]
+        s = jnp.dot(q_h, k_h.T,
+                    preferred_element_type=jnp.float32) * scale   # [bn, S]
+        if has_bias:
+            s = s + b_ref[0, :][None, :]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jnp.dot(p.astype(x.dtype), v_h,
+                            preferred_element_type=jnp.float32))
+    o = jnp.concatenate(outs, axis=-1).astype(x.dtype)
+    out = jnp.dot(o, wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:]
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def fused_self_attention(x, wq, wk, wv, wo, bo, scale, num_heads,
+                         key_bias=None, interpret=False):
+    """Fused self-attention block for the SAMPLER path (forward-only).
+
+    x [B, N, C] pre-normed. K/V are projected once per (batch, layer) by a
+    plain fused matmul (bandwidth-optimal in XLA), kept in the folded
+    [B, H, N, hd] layout, and stay resident in VMEM across all q blocks —
+    the kernel then fuses q-projection + per-head softmax(QK^T)V + the out
+    projection, so the [B, N, C] activations make exactly one round trip.
+    key_bias: optional additive [B, N] img-mask bias.
+    """
+    b, n, c = x.shape
+    hd = c // num_heads
+    # single fused K|V projection, kept packed [B, N, 2C]: lane-aligned in
+    # VMEM (per-head [H, N, hd] layouts pad hd->128 lanes and triple VMEM)
+    kv = jnp.dot(x, jnp.concatenate([wk, wv], axis=1),
+                 preferred_element_type=jnp.float32).astype(x.dtype)
+    has_bias = key_bias is not None
+    bias = (key_bias.astype(jnp.float32)[:, None, :] if has_bias
+            else jnp.zeros((1, 1, 1), jnp.float32))
+    bias_spec = (pl.BlockSpec((None, 1, n), lambda i, j: (i, 0, 0))
+                 if has_bias else
+                 pl.BlockSpec((None, 1, 1), lambda i, j: (0, 0, 0)))
+    # block_n 128 keeps the resident [N, 2C] K/V + per-head fp32 score
+    # blocks inside the 16MB scoped-VMEM limit at N=4096
+    block_n = 128
+    while n % block_n:
+        block_n //= 2
+    out = pl.pallas_call(
+        functools.partial(_fused_self_kernel, scale=scale, heads=num_heads,
+                          has_bias=has_bias),
+        grid=(b, n // block_n),
+        in_specs=[
+            pl.BlockSpec((None, block_n, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((None, n, 2 * c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((c,), lambda i, j: (0,)),
+            bias_spec,
+        ],
+        out_specs=pl.BlockSpec((None, block_n, c), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        interpret=interpret,
+    )(x, wq, kv, wo, bo.astype(jnp.float32), bias)
+    return out
+
+
 def causal_mask(seq_len: int, dtype=jnp.float32) -> jax.Array:
     """Additive causal mask [1, 1, S, S] (0 on/below diagonal, -inf above).
 

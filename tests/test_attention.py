@@ -104,3 +104,53 @@ def test_dot_product_attention_key_bias_xla():
     ref = attn.dot_product_attention(
         q, k, v, mask=bias[:, None, None, :], use_flash=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_fused_cross_attention_parity():
+    """Fused q-proj+attn+out-proj kernel vs the unfused chain."""
+    ks = jax.random.split(jax.random.PRNGKey(5), 6)
+    b, n, c, s, h = 2, 512, 128, 77, 4
+    hd = c // h
+    x = _rand(ks[0], b, n, c)
+    wq = _rand(ks[1], c, c) * 0.05
+    k = _rand(ks[2], b, s, h, hd)
+    v = _rand(ks[3], b, s, h, hd)
+    wo = _rand(ks[4], c, c) * 0.05
+    bo = _rand(ks[5], c) * 0.05
+    scale = hd ** -0.5
+
+    q = (x @ wq).reshape(b, n, h, hd)
+    ref_attn = attn._attention_xla(q, k, v, None, None, scale)
+    ref = ref_attn.reshape(b, n, c) @ wo + bo
+
+    out = attn.fused_cross_attention(x, wq, k, v, wo, bo, scale, h,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_self_attention_parity():
+    """Fused qkv+attn+out self-attention block vs the unfused chain."""
+    ks = jax.random.split(jax.random.PRNGKey(7), 7)
+    b, n, c, h = 2, 512, 128, 4
+    hd = c // h
+    x = _rand(ks[0], b, n, c)
+    wq = _rand(ks[1], c, c) * 0.05
+    wk = _rand(ks[2], c, c) * 0.05
+    wv = _rand(ks[3], c, c) * 0.05
+    wo = _rand(ks[4], c, c) * 0.05
+    bo = _rand(ks[5], c) * 0.05
+    keep = jax.random.bernoulli(ks[6], 0.8, (b, n)).astype(jnp.float32)
+    bias = (keep - 1.0) * (-attn.NEG_BIG)
+    scale = hd ** -0.5
+
+    q = (x @ wq).reshape(b, n, h, hd)
+    k = (x @ wk).reshape(b, n, h, hd)
+    v = (x @ wv).reshape(b, n, h, hd)
+    for kb in (None, bias):
+        ref_attn = attn._attention_xla(q, k, v, None, kb, scale)
+        ref = ref_attn.reshape(b, n, c) @ wo + bo
+        out = attn.fused_self_attention(x, wq, wk, wv, wo, bo, scale, h,
+                                        key_bias=kb, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=3e-4, atol=3e-4)

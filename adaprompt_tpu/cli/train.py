@@ -35,7 +35,9 @@ from adaprompt_tpu.utils import torch_port
 
 
 def parse_args(argv=None):
+    from adaprompt_tpu.utils.config import add_config_args, apply_config_files
     p = argparse.ArgumentParser()
+    add_config_args(p)   # --base yaml(s) + --set dotlist (main.py:820-824)
     common.add_model_args(p)
     p.add_argument("--data_roots", type=str, nargs="+", required=True)
     p.add_argument("--stage", type=int, default=1, choices=(1, 2),
@@ -94,7 +96,8 @@ def parse_args(argv=None):
     p.add_argument("--num_vectors_per_subj_token", type=int, default=16)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of a few steps here")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    return apply_config_files(args, p, argv)
 
 
 def build_trainer_config(args) -> trainer_mod.TrainerConfig:

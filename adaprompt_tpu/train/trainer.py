@@ -708,6 +708,11 @@ class AdaPromptTrainer:
 
     def _log_teachable(self, metrics: dict, teachable: bool, reuse: bool):
         """teachable-fraction counters (ddpm.py:3681-3688)."""
+        # color code for the next sample grid (log_image_colors semantics):
+        # 1 green (fresh teachable), 2 red (not teachable), 3 purple (reuse
+        # teachable)
+        self._last_teach_color = (3 if (teachable and reuse)
+                                  else 1 if teachable else 2)
         self._num_filter_iters += 1
         self._num_teachable_iters += int(teachable)
         metrics["teachable"] = float(teachable)
@@ -863,9 +868,31 @@ class AdaPromptTrainer:
         out = {k: (float(v) if hasattr(v, "dtype") else v)
                for k, v in metrics.items()}
         out["step"] = step_idx
+        out.update(self._host_stats())
         self._metrics_file.write(json.dumps(out) + "\n")
         self._metrics_file.flush()
         return out
+
+    def _host_stats(self) -> dict:
+        """Step time + device memory (the CUDACallback role, main.py:669-689:
+        epoch time and torch.cuda.max_memory_allocated)."""
+        now = time.time()
+        stats = {}
+        if getattr(self, "_last_step_t", None) is not None:
+            stats["step_time_s"] = round(now - self._last_step_t, 4)
+        self._last_step_t = now
+        if self._global_step % 50 == 0:
+            try:
+                ms = jax.local_devices()[0].memory_stats() or {}
+                if "bytes_in_use" in ms:
+                    stats["device_mem_gb"] = round(
+                        ms["bytes_in_use"] / 2 ** 30, 3)
+                if "peak_bytes_in_use" in ms:
+                    stats["device_peak_mem_gb"] = round(
+                        ms["peak_bytes_in_use"] / 2 ** 30, 3)
+            except Exception:
+                pass
+        return stats
 
     def train(self, num_steps: int | None = None):
         n = num_steps or self.cfg.max_steps
@@ -909,6 +936,18 @@ class AdaPromptTrainer:
                              num_steps=num_steps, height=height, width=width,
                              seed=step)
         from PIL import Image
+        imgs = np.asarray(imgs).copy()
+        # teachability color boxes (cache_and_log_generations,
+        # ddpm.py:4989-5008): green = teachable fresh iter, purple =
+        # teachable reuse iter, red = fresh-then-unteachable; no box when
+        # no compositional iteration has run yet
+        color = {1: (0, 255, 0), 2: (255, 0, 0),
+                 3: (160, 32, 240)}.get(getattr(self, "_last_teach_color", 0))
+        if color is not None:
+            imgs[:, :6, :, :] = color
+            imgs[:, -6:, :, :] = color
+            imgs[:, :, :6, :] = color
+            imgs[:, :, -6:, :] = color
         strip = np.concatenate(list(imgs), axis=1)
         path = os.path.join(self.cfg.out_dir, f"samples_gs-{step}.png")
         Image.fromarray(strip).save(path)

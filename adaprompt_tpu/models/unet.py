@@ -437,8 +437,9 @@ def _cross_attention(p: dict, x: jax.Array, ctx_v: jax.Array, ctx_k: jax.Array,
     b, n, c = x.shape
     hd = c // num_heads
     scale = hd ** -0.5
+    from adaprompt_tpu.ops.attention import pallas_ok
     if (kv is not None and not capture and conv_attn is None
-            and n >= 512 and jax.default_backend() not in ("cpu",)):
+            and n >= 512 and pallas_ok()):
         # sampler fast path: fused q-proj+attn+out-proj kernel over the
         # tiny precomputed context K/V (ops/attention.py)
         from adaprompt_tpu.ops.attention import fused_cross_attention
@@ -504,7 +505,8 @@ _ABLATE = frozenset(filter(None, _os.environ.get("ADAPROMPT_ABLATE", "").split("
 def _geglu_ff(p: dict, x: jax.Array) -> jax.Array:
     if "ff" in _ABLATE:
         return x
-    if jax.default_backend() not in ("cpu",):
+    from adaprompt_tpu.ops.attention import pallas_ok
+    if pallas_ok():
         from adaprompt_tpu.ops.geglu import fused_eligible, geglu
         if fused_eligible(x, p["proj"]["kernel"]):
             # fused proj->gelu-gate->out Pallas kernel: the [M, 8C] and

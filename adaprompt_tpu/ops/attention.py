@@ -42,6 +42,17 @@ _FLASH_MIN_Q = 512  # below this, the XLA path is faster than kernel launch over
 NEG_BIG = -1e9      # masked-key bias; finite so exp arithmetic stays NaN-free
 
 
+def pallas_ok() -> bool:
+    """True when compiled Pallas kernels can be used. False on the CPU
+    backend and when ADAPROMPT_DISABLE_PALLAS is set — the multichip dryrun
+    runs CPU computations while a TPU plugin is still the default backend,
+    so the backend check alone is not sufficient there."""
+    import os
+    if os.environ.get("ADAPROMPT_DISABLE_PALLAS"):
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           mask: jax.Array | None = None,
                           key_bias: jax.Array | None = None,
@@ -66,11 +77,8 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if use_flash is None:
-        use_flash = (
-            mask is None
-            and q.shape[1] >= _FLASH_MIN_Q
-            and jax.default_backend() not in ("cpu",)
-        )
+        use_flash = (mask is None and q.shape[1] >= _FLASH_MIN_Q
+                     and pallas_ok())
     if use_flash:
         return flash_attention(q, k, v, key_bias, scale)
     return _attention_xla(q, k, v, mask, key_bias, scale)

@@ -129,7 +129,8 @@ def _geglu_fwd(x, w1, b1, w2, b2, interpret):
 def _geglu_bwd(interpret, res, g):
     x, w1, b1, w2, b2 = res
     _, vjp = jax.vjp(lambda *a: geglu_reference(*a), x, w1, b1, w2, b2)
-    return vjp(g.astype(jnp.float32))
+    # cotangent dtype must match geglu_reference's output (= x.dtype)
+    return vjp(g.astype(x.dtype))
 
 
 geglu.defvjp(_geglu_fwd, _geglu_bwd)

@@ -101,9 +101,10 @@ def pick_fg_rand_scale(fg_mask_np: np.ndarray, rng: np.random.Generator,
 
 @dataclasses.dataclass(frozen=True, eq=False)
 class ComposModels:
-    """Frozen model params for the compositional phases."""
-    unet: dict
-    vae: dict
+    """Static CONFIGS for the compositional phases. The frozen params
+    (unet/vae/text towers + the frozen subj-basis copy) are runtime
+    arguments `mp` of each phase — closure capture would bake GBs of
+    constants into the lowered programs (see steps.FrozenSD)."""
     unet_cfg: unet_mod.UNetConfig
     vae_cfg: vae_mod.VAEConfig
 
@@ -114,22 +115,23 @@ def make_filter_phase(models: ComposModels, *, cfg_scale: float = 5.0,
     """One no-grad denoise of the (subj_comp x N, mix_comp x N) candidate
     batch -> decoded images [-1,1] for CLIP scoring (ddpm.py:3043-3135)."""
 
-    def phase(ctx_v, ctx_k, uncond_ctx, x_start, t, noise):
-        """ctx_v/ctx_k: [L, 2N, S, D]; x_start/noise: [2N, h, w, 4]; t: [2N]."""
+    def phase(mp, ctx_v, ctx_k, uncond_ctx, x_start, t, noise):
+        """mp: {'unet', 'vae'} frozen params; ctx_v/ctx_k: [L, 2N, S, D];
+        x_start/noise: [2N, h, w, 4]; t: [2N]."""
         x_t = q_sample(sched, x_start, t, noise)
-        eps_c = unet_mod.forward(models.unet, x_t.astype(compute_dtype), t,
+        eps_c = unet_mod.forward(mp["unet"], x_t.astype(compute_dtype), t,
                                  ctx_v.astype(compute_dtype),
                                  context_k=ctx_k.astype(compute_dtype),
                                  cfg=models.unet_cfg).astype(jnp.float32)
         if uncond_ctx is not None and cfg_scale > 1:
-            eps_u = unet_mod.forward(models.unet, x_t.astype(compute_dtype), t,
+            eps_u = unet_mod.forward(mp["unet"], x_t.astype(compute_dtype), t,
                                      uncond_ctx.astype(compute_dtype),
                                      cfg=models.unet_cfg).astype(jnp.float32)
             eps = eps_u + cfg_scale * (eps_c - eps_u)
         else:
             eps = eps_c
         x_recon = predict_start_from_noise(sched, x_t, t, eps)
-        imgs = vae_mod.decode(models.vae, (x_recon / 0.18215).astype(compute_dtype),
+        imgs = vae_mod.decode(mp["vae"], (x_recon / 0.18215).astype(compute_dtype),
                               cfg=models.vae_cfg).astype(jnp.float32)
         return jax.lax.stop_gradient(x_recon), jax.lax.stop_gradient(imgs)
 
@@ -143,7 +145,7 @@ def make_compos_train_phase(optimizer: optax.GradientTransformation,
                             loss_weights: dict | None = None):
     """With-grad denoise of the 4-type batch + distillation losses + update.
 
-    context_fn(trainable, batch) -> dict with:
+    context_fn(trainable, mp, batch) -> dict with:
       'ctx4': [L, 4, S, D] four-type contexts (subj_single, subj_comp,
               cls_single, cls_comp) BEFORE VK mixing,
       'static_embs': [4, L, S, D] for the prompt-delta loss,
@@ -159,8 +161,8 @@ def make_compos_train_phase(optimizer: optax.GradientTransformation,
           "comp_fg_bg_preserve": 1e-3, "fg_bg_xlayer_consist": 5e-5}
     lw.update(loss_weights or {})
 
-    def loss_fn(trainable, batch, key):
-        cinfo = context_fn(trainable, batch)
+    def loss_fn(trainable, mp, batch, key):
+        cinfo = context_fn(trainable, mp, batch)
         ctx4 = cinfo["ctx4"]
         subj_pos = cinfo["subj_pos"]
         L = ctx4.shape[0]
@@ -177,7 +179,7 @@ def make_compos_train_phase(optimizer: optax.GradientTransformation,
 
         x_t = q_sample(sched, batch["x_start"], t, batch["noise"])
         eps, captures = unet_mod.forward(
-            models.unet, x_t.astype(compute_dtype), t,
+            mp["unet"], x_t.astype(compute_dtype), t,
             ctx_v.astype(compute_dtype), context_k=ctx_k.astype(compute_dtype),
             capture_ca=True, cfg=models.unet_cfg)
         x_recon = predict_start_from_noise(sched, x_t, t, eps.astype(jnp.float32))
@@ -229,9 +231,9 @@ def make_compos_train_phase(optimizer: optax.GradientTransformation,
                    "loss_comp_fg_bg_preserve": loss_preserve}
         return loss, (metrics, x_recon, q_bn_stats)
 
-    def phase(state: TrainState, batch, key):
+    def phase(state: TrainState, mp, batch, key):
         (loss, (metrics, x_recon, q_bn_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, key)
+            loss_fn, has_aux=True)(state.params, mp, batch, key)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)

@@ -109,7 +109,13 @@ def make_recon_step(optimizer: optax.GradientTransformation,
 
 @dataclasses.dataclass(frozen=True, eq=False)  # identity hash -> static jit arg
 class FrozenSD:
-    """Frozen model params + configs shared by the distillation steps."""
+    """Frozen model params + configs shared by the distillation steps.
+
+    Step functions receive the PARAMS as a runtime argument
+    (`frozen_params(frozen)`), not via closure: closure-captured params are
+    baked into the lowered program as constants (~2.2GB for full SD-1.5),
+    which the remote TPU compiler cannot ingest and which would be
+    re-embedded per compiled step variant. Only the configs stay static."""
     unet: dict
     text: dict
     arc2face_text: dict
@@ -117,6 +123,15 @@ class FrozenSD:
     unet_cfg: unet_mod.UNetConfig
     text_cfg: "clip_text.CLIPTextConfig"
     arc2face_text_cfg: "clip_text.CLIPTextConfig"
+
+
+def frozen_params(frozen: FrozenSD) -> dict:
+    """The runtime-argument pytree passed to every step call."""
+    fp = {"unet": frozen.unet, "text": frozen.text,
+          "arc2face_text": frozen.arc2face_text}
+    if frozen.teacher_unet is not None:
+        fp["teacher_unet"] = frozen.teacher_unet
+    return fp
 
 
 def make_arc2face_distill_step(optimizer: optax.GradientTransformation,
@@ -141,7 +156,7 @@ def make_arc2face_distill_step(optimizer: optax.GradientTransformation,
     # last max(7 // B, 1) steps
     sw = jnp.asarray(np.asarray(skip_weights, np.float32))
 
-    def loss_fn(trainable, batch, key):
+    def loss_fn(trainable, fp, batch, key):
         z0 = batch["z0"]
         b = z0.shape[0]
         k_t, k_noise, k_teacher, k_rest = jax.random.split(key, 4)
@@ -151,16 +166,16 @@ def make_arc2face_distill_step(optimizer: optax.GradientTransformation,
         # teacher conditioning: arc2face forward embeddings, max_len 21
         # ("remove all paddings", ddpm.py:5427)
         teacher_ctx, core_id = a2f.forward_face_embs(
-            frozen.arc2face_text, tokenizer, batch["faceid"],
+            fp["arc2face_text"], tokenizer, batch["faceid"],
             text_cfg=frozen.arc2face_text_cfg, input_max_length=21)
         teacher_ctx = jax.lax.stop_gradient(teacher_ctx)
         core_id = jax.lax.stop_gradient(core_id)
 
         # teacher chain
         noise_preds, pred_x0s, noises, ts = teacher_denoise_chain(
-            frozen.teacher_unet, z0, noise, t, teacher_ctx, k_teacher,
-            num_denoising_steps=nd, unet_cfg=frozen.unet_cfg, sched=sched,
-            compute_dtype=compute_dtype)
+            fp.get("teacher_unet", fp["unet"]), z0, noise, t, teacher_ctx,
+            k_teacher, num_denoising_steps=nd, unet_cfg=frozen.unet_cfg,
+            sched=sched, compute_dtype=compute_dtype)
 
         # student conditioning: the AdaFace inverse prompt embeddings
         # ('full_pad' in training) re-encoded by the frozen SD text encoder
@@ -173,7 +188,7 @@ def make_arc2face_distill_step(optimizer: optax.GradientTransformation,
                                           frozen.text_cfg.max_positions, None)
         ids = jnp.tile(jnp.asarray(ids_np)[None], (b, 1))
         student_ctx = clip_text.encode(
-            frozen.text, ids, cfg=frozen.text_cfg,
+            fp["text"], ids, cfg=frozen.text_cfg,
             inputs_embeds=adaface_prompt_embs,
             hidden_state_layer_weights=sw)          # [B, 77, 768]
 
@@ -188,7 +203,7 @@ def make_arc2face_distill_step(optimizer: optax.GradientTransformation,
             # (s=0 wraps to the last, matching ddpm.py:2985)
             x0_s = pred_x0s[s - 1]
             eps_s = unet_mod.forward(
-                frozen.unet,
+                fp["unet"],
                 q_sample(sched, x0_s, ts[s], noises[s]).astype(compute_dtype),
                 ts[s], student_ctx[None].astype(compute_dtype),
                 img_mask=img_mask,
@@ -201,9 +216,9 @@ def make_arc2face_distill_step(optimizer: optax.GradientTransformation,
         loss = sum(losses) / np.sqrt(nd)
         return loss, {"loss_arc2face_distill": loss}
 
-    def step(state: TrainState, batch, key):
+    def step(state: TrainState, fp, batch, key):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, key)
+            state.params, fp, batch, key)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)

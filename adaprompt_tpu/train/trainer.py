@@ -155,7 +155,7 @@ def make_zs_recon_step(optimizer, frozen: steps_mod.FrozenSD, tokenizer,
     K = subj_basis_cfg.num_out_embs_per_layer
     K_bg = bg_basis_cfg.num_out_embs_per_layer if bg_basis_cfg else 0
 
-    def loss_fn(trainable, batch, key):
+    def loss_fn(trainable, fp, batch, key):
         z0 = batch["z0"]
         b = z0.shape[0]
         kt, kn, ke = jax.random.split(key, 3)
@@ -163,7 +163,7 @@ def make_zs_recon_step(optimizer, frozen: steps_mod.FrozenSD, tokenizer,
         noise = jax.random.normal(kn, z0.shape, jnp.float32)
 
         _, core_id = a2f.forward_face_embs(
-            frozen.arc2face_text, tokenizer, batch["faceid"],
+            fp["arc2face_text"], tokenizer, batch["faceid"],
             text_cfg=frozen.arc2face_text_cfg, input_max_length=21)
         core_id = jax.lax.stop_gradient(core_id)
 
@@ -186,7 +186,7 @@ def make_zs_recon_step(optimizer, frozen: steps_mod.FrozenSD, tokenizer,
             splices.append((bg_embs, batch["bg_bi"], batch["bg_pos"], K_bg))
             layerwise = True   # bg embeddings are per-CA-layer
         ctx = cond_mod.encode_spliced(
-            frozen.text, batch["caption_ids"], splices,
+            fp["text"], batch["caption_ids"], splices,
             batch["skip_weights"], num_ca_layers, frozen.text_cfg,
             layerwise=layerwise)
 
@@ -195,12 +195,12 @@ def make_zs_recon_step(optimizer, frozen: steps_mod.FrozenSD, tokenizer,
         # recon iters (ddpm.py:2871-2877; None only for compositional iters)
         if fgbg_reg:
             eps, caps = unet_mod.forward(
-                frozen.unet, z_t.astype(compute_dtype), t,
+                fp["unet"], z_t.astype(compute_dtype), t,
                 ctx.astype(compute_dtype), img_mask=batch.get("aug_mask"),
                 capture_ca=True, cfg=frozen.unet_cfg)
             eps = eps.astype(jnp.float32)
         else:
-            eps = unet_mod.forward(frozen.unet, z_t.astype(compute_dtype), t,
+            eps = unet_mod.forward(fp["unet"], z_t.astype(compute_dtype), t,
                                    ctx.astype(compute_dtype),
                                    img_mask=batch.get("aug_mask"),
                                    cfg=frozen.unet_cfg).astype(jnp.float32)
@@ -238,9 +238,9 @@ def make_zs_recon_step(optimizer, frozen: steps_mod.FrozenSD, tokenizer,
         metrics["loss"] = loss
         return loss, metrics
 
-    def step(state, batch, key):
+    def step(state, fp, batch, key):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, key)
+            state.params, fp, batch, key)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
@@ -266,7 +266,7 @@ def make_static_recon_step(optimizer, frozen: steps_mod.FrozenSD, static_cfg,
 
     K = static_cfg.num_vectors
 
-    def loss_fn(trainable, batch, key):
+    def loss_fn(trainable, fp, batch, key):
         z0 = batch["z0"]
         b = z0.shape[0]
         kt, kn = jax.random.split(key)
@@ -275,12 +275,12 @@ def make_static_recon_step(optimizer, frozen: steps_mod.FrozenSD, static_cfg,
         embs = se.forward(trainable["static_emb"], static_cfg)   # [L, K, D]
         subj_embs = jnp.tile(embs[None], (b, 1, 1, 1))           # [B, L, K, D]
         ctx = cond_mod.encode_spliced(
-            frozen.text, batch["caption_ids"],
+            fp["text"], batch["caption_ids"],
             [(subj_embs, batch["subj_bi"], batch["subj_pos"], K)],
             batch["skip_weights"], num_ca_layers, frozen.text_cfg,
             layerwise=True)
         z_t = q_sample(sched, z0, t, noise)
-        eps = unet_mod.forward(frozen.unet, z_t.astype(compute_dtype), t,
+        eps = unet_mod.forward(fp["unet"], z_t.astype(compute_dtype), t,
                                ctx.astype(compute_dtype),
                                img_mask=batch.get("aug_mask"),
                                cfg=frozen.unet_cfg).astype(jnp.float32)
@@ -289,9 +289,9 @@ def make_static_recon_step(optimizer, frozen: steps_mod.FrozenSD, static_cfg,
                                bg_pixel_weight=0.1)
         return loss, {"loss_recon": loss, "loss": loss}
 
-    def step(state, batch, key):
+    def step(state, fp, batch, key):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, key)
+            state.params, fp, batch, key)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
@@ -394,8 +394,11 @@ class AdaPromptTrainer:
 
         self._recon_steps = {}   # keyed by (use_bg, fgbg_reg)
         self._distill_steps = {}
+        # frozen params as runtime ARG pytree — closure capture would bake
+        # ~2.2GB of constants into every compiled step (steps.frozen_params)
+        self._fp = steps_mod.frozen_params(frozen)
         self._encode_latents = jax.jit(
-            lambda imgs: vae_mod.encode(vae_params, imgs, cfg=vae_cfg)[0] * 0.18215)
+            lambda vp, imgs: vae_mod.encode(vp, imgs, cfg=vae_cfg)[0] * 0.18215)
 
         os.makedirs(cfg.out_dir, exist_ok=True)
         self._metrics_file = open(os.path.join(cfg.out_dir, "metrics.jsonl"), "a")
@@ -418,6 +421,7 @@ class AdaPromptTrainer:
             unet_cfg=self.frozen.unet_cfg, text_cfg=self.frozen.text_cfg,
             arc2face_text_cfg=self.frozen.arc2face_text_cfg)
         self.vae_params = sp(self.vae_params)
+        self._fp = steps_mod.frozen_params(self.frozen)
         self._frozen_sbg_params = sp(self._frozen_sbg_params)
         self.state = steps_mod.TrainState(
             params=sp(self.state.params),
@@ -452,6 +456,11 @@ class AdaPromptTrainer:
             else:
                 out[k] = jax.device_put(v, rep)
         return out
+
+    def _mp_compos(self) -> dict:
+        """Model-params arg pytree for the compositional phases."""
+        return {**self._fp, "vae": self.vae_params,
+                "frozen_sbg": self._frozen_sbg_params}
 
     def _get_recon_step(self, use_bg: bool, fgbg_reg: bool):
         key = (use_bg, fgbg_reg)
@@ -513,7 +522,7 @@ class AdaPromptTrainer:
     def prepare_recon_batch(self, raw: dict, use_bg: bool = False,
                             iter_type: str = "recon_iter") -> dict:
         imgs = jnp.asarray(raw["image"], self.dtype)
-        z0 = self._encode_latents(imgs).astype(jnp.float32)
+        z0 = self._encode_latents(self.vae_params, imgs).astype(jnp.float32)
         captions = raw["caption_bg"] if use_bg else raw["caption"]
         ids = self.tokenizer([c for c in captions])
         bi, pos = cond_mod.find_placeholder_indices(ids, self.subject_spec)
@@ -571,20 +580,17 @@ class AdaPromptTrainer:
         from adaprompt_tpu.adaface import subj_basis_generator as sbg
 
         self._cached_inits = cs.CachedInits(1000)
-        models = cs.ComposModels(unet=self.frozen.unet, vae=self.vae_params,
-                                 unet_cfg=self.frozen.unet_cfg,
+        models = cs.ComposModels(unet_cfg=self.frozen.unet_cfg,
                                  vae_cfg=self.vae_cfg)
         K = self.subj_basis_cfg.num_out_embs_per_layer
         frozen = self.frozen
         scfg = self.subj_basis_cfg
         tok = self.tokenizer
 
-        frozen_sbg = jax.tree.map(jax.lax.stop_gradient,
-                                  self._frozen_sbg_params)
-
-        def context_fn(trainable, batch):
+        def context_fn(trainable, mp, batch):
+            frozen_sbg = jax.tree.map(jax.lax.stop_gradient, mp["frozen_sbg"])
             _, core_id = a2f.forward_face_embs(
-                frozen.arc2face_text, tok, batch["faceid"],
+                mp["arc2face_text"], tok, batch["faceid"],
                 text_cfg=frozen.arc2face_text_cfg, input_max_length=21)
             core_id = jax.lax.stop_gradient(core_id)
             subj_embs, _ = sbg.forward(trainable["subj_basis"], scfg, tok,
@@ -603,7 +609,7 @@ class AdaPromptTrainer:
                            + subj_embs * 0.1)
             # encode the 4-type prompts; subject vectors spliced into rows 0,1
             ctx4 = cond_mod.encode_spliced(
-                frozen.text, batch["ids4"],
+                mp["text"], batch["ids4"],
                 [(subj_single[:, :1], batch["subj_rows"][:1],
                   batch["subj_pos4"][:1], K),
                  (subj_embs[:, :1], batch["subj_rows"][1:2],
@@ -643,7 +649,7 @@ class AdaPromptTrainer:
                          range(self.subject_spec.num_vectors)]
         b = len(raw["image"])
         imgs = jnp.asarray(raw["image"][:1], self.dtype)
-        z0 = self._encode_latents(imgs).astype(jnp.float32)
+        z0 = self._encode_latents(self.vae_params, imgs).astype(jnp.float32)
         if self.face_embedder is not None:
             e = self.face_embedder.embed_image(raw["image_unnorm"][0])
             faceid = e[:1] if len(e) else self.rng.standard_normal((1, 512)).astype(np.float32)
@@ -678,13 +684,14 @@ class AdaPromptTrainer:
         if self.clip_scorer is None:
             return True, 0, {}
         from adaprompt_tpu.train import compos_step as cs
+        self._ensure_compos()
         if not hasattr(self, "_filter_phase"):
-            models = cs.ComposModels(unet=self.frozen.unet, vae=self.vae_params,
-                                     unet_cfg=self.frozen.unet_cfg,
+            models = cs.ComposModels(unet_cfg=self.frozen.unet_cfg,
                                      vae_cfg=self.vae_cfg)
             self._filter_phase = cs.make_filter_phase(models, cfg_scale=5.0,
                                                       compute_dtype=self.dtype)
-        cinfo = self._filter_ctx_fn(self.state.params, cbatch)
+        cinfo = self._filter_ctx_fn(self.state.params, self._mp_compos(),
+                                    cbatch)
         ctx4 = cinfo["ctx4"]
         n = x_start_cand.shape[0]
         # candidate batch layout (subj_comp x N, cls_comp x N)
@@ -694,7 +701,8 @@ class AdaPromptTrainer:
         x2 = jnp.concatenate([x_start_cand, x_start_cand])
         t2 = jnp.concatenate([t_cand, t_cand])
         n2 = jnp.concatenate([noise_cand, noise_cand])
-        _, imgs = self._filter_phase(ctx2, ctx2, None, x2, t2, n2)
+        _, imgs = self._filter_phase(self._mp_compos(), ctx2, ctx2, None,
+                                     x2, t2, n2)
         prompt = cbatch["cls_comp_prompt"]
         sims = self.clip_scorer.txt_to_img_similarity(
             [prompt] * (2 * n), np.asarray(imgs), reduction="diag")
@@ -789,8 +797,8 @@ class AdaPromptTrainer:
                  # (ddpm.py:3371-3384)
                  "normalize_outfeat": jnp.asarray(
                      float(self.rng.random() < 0.5), jnp.float32)}
-        self.state, metrics, x_recon = self._compos_phase(self.state, batch,
-                                                          self._next_key())
+        self.state, metrics, x_recon = self._compos_phase(
+            self.state, self._mp_compos(), batch, self._next_key())
         # only fresh iters refill the cache; a reuse iter consumed its entry
         if fresh:
             self._cached_inits.put(name, np.asarray(x_recon), np.asarray(t))
@@ -851,15 +859,16 @@ class AdaPromptTrainer:
                     self.subj_basis_cfg, num_denoising_steps=nd,
                     compute_dtype=self.dtype,
                     skip_weights=self.cfg.skip_weights))
-            self.state, metrics = self._distill_steps[nd](self.state, batch,
-                                                          self._next_key())
+            self.state, metrics = self._distill_steps[nd](
+                self.state, self._fp, batch, self._next_key())
             metrics["iter_type"] = "arc2face_distill"
         else:
             # fg/bg attention regularizers run on recon iters
             # (calc_recon_and_complem_losses, ddpm.py:3459-3530)
             step_fn = self._get_recon_step(use_bg=use_bg,
                                            fgbg_reg=self.cfg.fgbg_reg)
-            self.state, metrics = step_fn(self.state, batch, self._next_key())
+            self.state, metrics = step_fn(self.state, self._fp, batch,
+                                          self._next_key())
             metrics["iter_type"] = "recon_bg" if use_bg else "recon"
 
         if self.ema is not None:

@@ -59,12 +59,13 @@ def tiny_models():
     leaves = [l if l.ndim < 2 or jnp.abs(l).sum() > 0 else jax.random.normal(r, l.shape) * 0.02
               for l, r in zip(leaves, rngs)]
     unet_params = jax.tree.unflatten(treedef, leaves)
-    return cs.ComposModels(unet=unet_params, vae=vae_mod.init_params(k2, vcfg),
-                           unet_cfg=ucfg, vae_cfg=vcfg)
+    mp = {"unet": unet_params, "vae": vae_mod.init_params(k2, vcfg)}
+    return cs.ComposModels(unet_cfg=ucfg, vae_cfg=vcfg), mp
 
 
 def test_filter_phase(tiny_models):
-    phase = cs.make_filter_phase(tiny_models, cfg_scale=2.0,
+    models, mp = tiny_models
+    phase = cs.make_filter_phase(models, cfg_scale=2.0,
                                  compute_dtype=jnp.float32)
     rng = np.random.default_rng(3)
     n = 4  # 2 candidates x 2 (subj, mix)
@@ -73,12 +74,13 @@ def test_filter_phase(tiny_models):
     x0 = jnp.asarray(rng.standard_normal((n, 16, 16, 4)), jnp.float32)
     t = jnp.asarray([900] * n)
     noise = jnp.asarray(rng.standard_normal((n, 16, 16, 4)), jnp.float32)
-    x_recon, imgs = phase(ctx, ctx, un, x0, t, noise)
+    x_recon, imgs = phase(mp, ctx, ctx, un, x0, t, noise)
     assert x_recon.shape == (n, 16, 16, 4)
     assert imgs.shape == (n, 32, 32, 3)
 
 
 def test_compos_train_phase_and_cache(tiny_models):
+    models, mp = tiny_models
     optimizer = optax.adam(1e-3)
     subj_pos = [4, 5, 6]
 
@@ -87,13 +89,13 @@ def test_compos_train_phase_and_cache(tiny_models):
     rng = np.random.default_rng(4)
     base_ctx = jnp.asarray(rng.standard_normal((16, 4, 11, 48)), jnp.float32)
 
-    def context_fn(trainable, batch):
+    def context_fn(trainable, mp_, batch):
         ctx4 = base_ctx + trainable["delta"][None, None, None]
         static_embs = ctx4.transpose(1, 0, 2, 3)
         return {"ctx4": ctx4, "static_embs": static_embs,
                 "prompt_emb_mask": None, "subj_pos": subj_pos, "bg_pos": None}
 
-    phase = cs.make_compos_train_phase(optimizer, tiny_models, context_fn,
+    phase = cs.make_compos_train_phase(optimizer, models, context_fn,
                                        compute_dtype=jnp.float32)
     trainable = {"delta": jnp.zeros((48,))}
     state = steps_mod.create_train_state(trainable, optimizer)
@@ -103,7 +105,7 @@ def test_compos_train_phase_and_cache(tiny_models):
         "noise": jnp.asarray(rng.standard_normal((4, 16, 16, 4)), jnp.float32),
         "fg_mask": None,
     }
-    state2, metrics, x_recon = phase(state, batch, jax.random.PRNGKey(5))
+    state2, metrics, x_recon = phase(state, mp, batch, jax.random.PRNGKey(5))
     assert np.isfinite(float(metrics["loss_compos"]))
     assert x_recon.shape == (4, 16, 16, 4)
     assert float(metrics["grad_norm"]) > 0

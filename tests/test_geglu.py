@@ -51,3 +51,18 @@ def test_erf_approx_accuracy():
     import scipy.special as sp
     np.testing.assert_allclose(np.asarray(gg._erf_approx(x)),
                                sp.erf(np.asarray(x)), atol=1e-6)
+
+
+def test_geglu_vjp_bf16():
+    """bf16 inputs (the train path) must round-trip through the custom
+    VJP without dtype mismatches."""
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    x = jax.random.normal(ks[0], (16, 128), jnp.bfloat16)
+    w1 = (jax.random.normal(ks[1], (128, 512)) * 0.05).astype(jnp.bfloat16)
+    b1 = jnp.zeros((512,), jnp.bfloat16)
+    w2 = (jax.random.normal(ks[2], (256, 128)) * 0.05).astype(jnp.bfloat16)
+    b2 = jnp.zeros((128,), jnp.bfloat16)
+    dx = jax.grad(lambda x: jnp.sum(
+        gg.geglu(x, w1, b1, w2, b2, True).astype(jnp.float32)))(x)
+    assert dx.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(dx, np.float32)).all()

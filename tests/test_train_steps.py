@@ -90,8 +90,9 @@ def test_arc2face_distill_step(env, nd):
         "fg_mask": jnp.asarray((rng.random((2, 8, 8, 1)) > 0.4), jnp.float32),
         "aug_mask": None,
     }
+    fp = steps_mod.frozen_params(frozen)
     step = jax.jit(step)
-    state2, metrics = step(state, batch, jax.random.PRNGKey(2))
+    state2, metrics = step(state, fp, batch, jax.random.PRNGKey(2))
     loss = float(metrics["loss_arc2face_distill"])
     assert np.isfinite(loss) and loss > 0
     # SubjBasisGenerator got gradient signal (hidden weights or
@@ -104,7 +105,7 @@ def test_arc2face_distill_step(env, nd):
     moved_proj = not np.allclose(np.asarray(b_k), np.asarray(a_k))
     assert moved_hw or moved_proj
     # second step with a different ND-compiled variant still runs
-    state3, metrics = step(state2, batch, jax.random.PRNGKey(3))
+    state3, metrics = step(state2, fp, batch, jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics["loss_arc2face_distill"]))
 
 
@@ -134,7 +135,8 @@ def test_static_recon_step(env):
              "subj_pos": jnp.asarray(pos, jnp.int32),
              "fg_mask": None, "aug_mask": None,
              "skip_weights": jnp.asarray([0.5, 0.5], jnp.float32)}
-    state2, metrics = step(state, batch, jax.random.PRNGKey(6))
+    state2, metrics = step(state, steps_mod.frozen_params(frozen), batch,
+                           jax.random.PRNGKey(6))
     assert np.isfinite(float(metrics["loss_recon"]))
     moved = not np.allclose(
         np.asarray(state.params["static_emb"]["basis_rand_weights"]),
@@ -185,7 +187,8 @@ def test_zs_recon_step_with_bg_and_regs(env):
              "skip_weights": jnp.asarray([0.5, 0.5], jnp.float32),
              "emb_noise_std": jnp.asarray(0.03, jnp.float32),
              "emb_scale_perturb": jnp.asarray([1.1, 0.9], jnp.float32)}
-    state2, metrics = step(state, batch, jax.random.PRNGKey(8))
+    state2, metrics = step(state, steps_mod.frozen_params(frozen), batch,
+                           jax.random.PRNGKey(8))
     for k in ("loss_recon", "loss_fg_bg_complementary", "loss_subj_mb_suppress",
               "loss_fg_xlayer_consist"):
         assert np.isfinite(float(metrics[k])), k

@@ -20,8 +20,10 @@ import pytest
 
 _BODY = r"""
 import os
-os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
-    " --xla_force_host_platform_device_count=4"
+# do NOT inherit the parent pytest session's XLA_FLAGS: conftest sets
+# --xla_force_host_platform_device_count=8, and a duplicate flag would
+# override the 4-device mesh this test is built around
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ["JAX_PLATFORMS"] = "cpu"
 import sys
 sys.path.insert(0, {repo!r})

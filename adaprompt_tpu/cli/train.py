@@ -94,6 +94,10 @@ def parse_args(argv=None):
     p.add_argument("--static_rank", type=int, default=6,
                    help="static mode: LoRA-style basis rank r")
     p.add_argument("--num_vectors_per_subj_token", type=int, default=16)
+    p.add_argument("--use_conv_attn_kernel_size", type=int, default=None,
+                   help="subject-token conv attention kernel size "
+                        "(reference main.py:225); requires "
+                        "num_vectors_per_subj_token >= ks*ks")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of a few steps here")
     args = p.parse_args(argv)
@@ -110,7 +114,7 @@ def build_trainer_config(args) -> trainer_mod.TrainerConfig:
         compute_dtype="bfloat16" if args.bf16 else "float32")
     for name in ("max_steps", "d_coef", "warm_up_steps",
                  "composition_regs_iter_gap", "arc2face_distill_iter_prob",
-                 "max_num_denoising_steps"):
+                 "max_num_denoising_steps", "use_conv_attn_kernel_size"):
         v = getattr(args, name)
         if v is not None:
             overrides[name] = v
@@ -129,7 +133,8 @@ def train_static(args, pipe, frozen):
     tok = pipe.tokenizer
     cfg = build_trainer_config(args)
     scfg = se.StaticEmbedderConfig(num_vectors=args.num_vectors_per_subj_token,
-                                   rank=args.static_rank)
+                                   rank=args.static_rank,
+                                   out_emb_dim=pipe.text_cfg.hidden_size)
     params = {"static_emb": se.init_params(jax.random.PRNGKey(args.seed), scfg)}
     optimizer = trainer_mod.build_optimizer(cfg)
     state = steps_mod.create_train_state(params, optimizer)
@@ -164,7 +169,7 @@ def train_static(args, pipe, frozen):
                  "fg_mask": None, "aug_mask": None,
                  "skip_weights": jnp.asarray([0.5, 0.5], jnp.float32)}
         key, k = jax.random.split(key)
-        state, metrics = step_fn(state, batch, k)
+        state, metrics = step_fn(state, steps_mod.frozen_params(frozen), batch, k)
         if (i + 1) % cfg.ckpt_every == 0 or i == n - 1:
             ckpt_mod.save_checkpoint(
                 os.path.join(args.out_dir, f"static_emb_gs-{i + 1}.npz"),
@@ -178,15 +183,27 @@ def main(argv=None):
     pipe = common.load_pipeline(args)
     tok = pipe.tokenizer
 
+    allow_self_teacher = False
     if args.arc2face_ckpt and os.path.exists(args.arc2face_ckpt):
         a2f_sd = torch_port.load_state_dict(args.arc2face_ckpt)
         parts = torch_port.split_sd_checkpoint(a2f_sd)
         teacher_unet = unet_mod.from_torch(parts["unet"] or a2f_sd)
         a2f_text = clip_text.from_torch(parts["text"] or a2f_sd)
     else:
-        print("WARNING: no arc2face ckpt — teacher uses the SD UNet/text weights.")
+        # no Arc2Face teacher: distilling against the student's own frozen
+        # SD UNet is meaningless for a real run — allowed only under the
+        # same explicit smoke-run opt-in as random face ids
+        if not args.synthetic_faces and args.mode != "static":
+            raise SystemExit(
+                "no --arc2face_ckpt: a real training run would distill "
+                "against the student's own frozen UNet. Pass "
+                "--arc2face_ckpt, or --synthetic_faces for a smoke run "
+                "that accepts the self-teacher fallback.")
+        print("WARNING: no arc2face ckpt — teacher uses the SD UNet/text "
+              "weights (smoke-run fallback).")
         teacher_unet = pipe.params.unet
         a2f_text = pipe.params.text
+        allow_self_teacher = True
 
     frozen = steps_mod.FrozenSD(
         unet=pipe.params.unet, text=pipe.params.text,
@@ -223,6 +240,9 @@ def main(argv=None):
             "that for smoke tests.")
 
     cfg = build_trainer_config(args)
+    if allow_self_teacher:
+        cfg = trainer_mod.TrainerConfig(**{**cfg.__dict__,
+                                           "allow_self_teacher": True})
 
     # CLIP teacher filtering (do_clip_teacher_filtering, yaml:31)
     clip_scorer = None

@@ -394,6 +394,10 @@ def _resblock(p: dict, x: jax.Array, emb: jax.Array,
               fused_conv: bool = False) -> jax.Array:
     # GroupNorm32 -> SiLU -> conv; +time; GroupNorm32 -> SiLU -> conv(zero)
     # (openaimodel.py:205-280; GroupNorm default eps 1e-5)
+    if "res" in _ABLATE:  # ablation stand-in: skip path only
+        if "skip" in p:
+            return conv1x1(x, p["skip"]["kernel"][0, 0], p["skip"]["bias"])
+        return x
     def gn_silu_conv(v, norm, conv):
         # per-conv dispatch: the Pallas fused kernel only for shapes measured
         # faster than XLA's pipeline (conv_halo._FUSED_TABLE)

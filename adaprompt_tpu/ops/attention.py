@@ -80,6 +80,9 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         use_flash = (mask is None and q.shape[1] >= _FLASH_MIN_Q
                      and pallas_ok())
     if use_flash:
+        if mask is not None:
+            raise ValueError("use_flash=True cannot honor a full additive "
+                             "mask; pass key_bias instead or use the XLA path")
         return flash_attention(q, k, v, key_bias, scale)
     return _attention_xla(q, k, v, mask, key_bias, scale)
 

@@ -76,8 +76,11 @@ def _pick_block_m(m, f2):
 
 def fused_eligible(x, w1) -> bool:
     """Fused only when both weight matrices fit VMEM alongside the row
-    block (C <= 640 in SD-1.5; the C=1280 layers have few tokens and are
-    not bandwidth-bound) and the row count tiles."""
+    block and the row count tiles. With the 8MB weight cap that means
+    C=320 layers only in SD-1.5: at C=640 the bf16 w1+w2 pair is ~9.8MB,
+    which with the fp32 row intermediate and double-buffered row blocks
+    would exhaust the ~16MB VMEM. The C=640/1280 layers have 4x/16x fewer
+    tokens and contribute far less FF bandwidth (docs/PERF.md)."""
     c, f2 = w1.shape
     m = 1
     for s in x.shape[:-1]:

@@ -199,6 +199,10 @@ def _generate_jit(unet_params, vae_params, cond, uncond, x_T,
                          guidance_scale=guidance, sched=sched)
     if return_latents:
         return z
+    if "vae" in unet_mod._ABLATE:  # ablation stand-in: nearest-upsample decode
+        img = jnp.repeat(jnp.repeat(z[..., :3], 8, axis=1), 8, axis=2)
+        img = (img.astype(jnp.float32)) * 127.5
+        return jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
     img = vae_mod.decode(vae_params, (z / 0.18215).astype(dt), cfg=vae_cfg)
     img = (img.astype(jnp.float32) + 1.0) * 127.5
     return jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)

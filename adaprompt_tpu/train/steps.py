@@ -139,14 +139,26 @@ def make_arc2face_distill_step(optimizer: optax.GradientTransformation,
                                *, num_denoising_steps: int = 1,
                                sched: DiffusionSchedule = SD15_SCHEDULE,
                                compute_dtype=jnp.bfloat16,
-                               skip_weights=(0.5, 0.5)):
+                               skip_weights=(0.5, 0.5),
+                               allow_self_teacher: bool = False):
     """Stage-1 Arc2Face distillation step (one compiled variant per ND).
 
     Trainable pytree: {'subj_basis': SubjBasisGenerator params}.
     batch: {'z0': [B,h,w,4] scaled latents, 'faceid': [B,512] normalized
     ArcFace embeddings, 'fg_mask': [B,h,w,1]|None, 'aug_mask': ...|None,
     'use_image_target': static False when targets are teacher noise preds}.
+
+    Without a real Arc2Face teacher (frozen.teacher_unet is None), the
+    chain would distill against the student's own frozen SD UNet — a
+    meaningless objective for a real run. That fallback must be requested
+    explicitly with allow_self_teacher=True (smoke tests only), mirroring
+    the synthetic_faces gate on random face ids.
     """
+    if frozen.teacher_unet is None and not allow_self_teacher:
+        raise ValueError(
+            "arc2face distillation requires a teacher UNet (Arc2Face "
+            "checkpoint); pass allow_self_teacher=True only for smoke runs "
+            "that knowingly distill the student against its own frozen UNet")
     from adaprompt_tpu.adaface import arc2face as a2f
     from adaprompt_tpu.adaface import subj_basis_generator as sbg
     from adaprompt_tpu.train.arc2face_teacher import teacher_denoise_chain

@@ -72,6 +72,13 @@ class TrainerConfig:
     # fg/bg attention regularizers on recon iters (yaml:48,50); disable for
     # lightweight smoke/mesh tests
     fgbg_reg: bool = True
+    # subject-token conv attention kernel size (--use_conv_attn_kernel_size,
+    # main.py:225); 0/1 = off. Applied on recon iters with the reference's
+    # layerwise gating (openaimodel.py:922-932)
+    use_conv_attn_kernel_size: int = 0
+    # smoke runs only: distill against the student's own frozen UNet when
+    # no Arc2Face teacher checkpoint is loaded (see steps.py gate)
+    allow_self_teacher: bool = False
     use_ema: bool = False                    # ema.py port; off in ref (yaml:25)
     ema_decay: float = 0.9999
     seed: int = 0
@@ -129,7 +136,8 @@ def make_zs_recon_step(optimizer, frozen: steps_mod.FrozenSD, tokenizer,
                        num_ca_layers: int = 16,
                        sched=SD15_SCHEDULE, compute_dtype=jnp.bfloat16,
                        fg_bg_complementary_loss_weight: float = 2e-4,
-                       fg_bg_xlayer_consist_loss_weight: float = 5e-5):
+                       fg_bg_xlayer_consist_loss_weight: float = 5e-5,
+                       conv_attn_kernel_size: int = 0):
     """Zero-shot reconstruction iter: the trainable SubjBasisGenerator
     produces the subject embeddings spliced into the caption prompt; the
     frozen SD UNet reconstructs the noised training latents
@@ -191,18 +199,30 @@ def make_zs_recon_step(optimizer, frozen: steps_mod.FrozenSD, tokenizer,
             layerwise=layerwise)
 
         z_t = q_sample(sched, z0, t, noise)
+        # subject-row conv-attn replacement (--use_conv_attn_kernel_size,
+        # main.py:225): kernel built from the K subject embeddings' columns;
+        # the unet applies the reference's layerwise gating (CA layers 6-10
+        # forced to 1x1, openaimodel.py:922-932)
+        conv_attn = None
+        if conv_attn_kernel_size > 1:
+            conv_attn = {
+                "subj_pos": batch["subj_pos"][:, None] + jnp.arange(K)[None],
+                "kernel_size": conv_attn_kernel_size,
+                "mix_weight": 1.0,
+            }
         # aug_mask restricts self-attention keys to non-padded tokens during
         # recon iters (ddpm.py:2871-2877; None only for compositional iters)
         if fgbg_reg:
             eps, caps = unet_mod.forward(
                 fp["unet"], z_t.astype(compute_dtype), t,
                 ctx.astype(compute_dtype), img_mask=batch.get("aug_mask"),
-                capture_ca=True, cfg=frozen.unet_cfg)
+                capture_ca=True, conv_attn=conv_attn, cfg=frozen.unet_cfg)
             eps = eps.astype(jnp.float32)
         else:
             eps = unet_mod.forward(fp["unet"], z_t.astype(compute_dtype), t,
                                    ctx.astype(compute_dtype),
                                    img_mask=batch.get("aug_mask"),
+                                   conv_attn=conv_attn,
                                    cfg=frozen.unet_cfg).astype(jnp.float32)
         loss = calc_recon_loss(eps, noise, batch.get("aug_mask"),
                                batch.get("fg_mask"), fg_pixel_weight=1.0,
@@ -468,7 +488,8 @@ class AdaPromptTrainer:
             self._recon_steps[key] = jax.jit(make_zs_recon_step(
                 self.optimizer, self.frozen, self.tokenizer,
                 self.subj_basis_cfg, bg_basis_cfg=self.bg_basis_cfg,
-                use_bg=use_bg, fgbg_reg=fgbg_reg, compute_dtype=self.dtype))
+                use_bg=use_bg, fgbg_reg=fgbg_reg, compute_dtype=self.dtype,
+                conv_attn_kernel_size=self.cfg.use_conv_attn_kernel_size))
         return self._recon_steps[key]
 
     # -- batch prep -------------------------------------------------------------
@@ -848,21 +869,43 @@ class AdaPromptTrainer:
         use_bg = (not do_distill and self.bg_params is not None
                   and self.rng.random() < self.use_background_token_prob)
         iter_type = "arc2face_distill_iter" if do_distill else "recon_iter"
-        batch = self._shard_batch(self.prepare_recon_batch(
-            raw, use_bg=use_bg, iter_type=iter_type))
+        host_batch = self.prepare_recon_batch(raw, use_bg=use_bg,
+                                              iter_type=iter_type)
 
         if do_distill:
             nd = self._sample_num_denoising_steps()
+            if nd > 1:
+                # HALF_BS: on multi-step distill iters, keep only the first
+                # ceil(B/ND) rows to bound the ND-chained UNet cost/memory
+                # (ddpm.py:1855-1880 repeat_selected_instances(slice(0,
+                # HALF_BS), 1)); rounded up to the dp mesh size so every
+                # device keeps at least one row
+                b = host_batch["z0"].shape[0]
+                half_bs = -(-b // nd)
+                if self.mesh is not None:
+                    dp = self.mesh.shape["dp"]
+                    half_bs = max(dp, -(-half_bs // dp) * dp)
+                if half_bs < b:
+                    host_batch = {
+                        k: (v[:half_bs]
+                            if (hasattr(v, "shape") and v is not None
+                                and v.ndim >= 1 and v.shape[0] == b) else v)
+                        for k, v in host_batch.items()}
+            batch = self._shard_batch(host_batch)
             if nd not in self._distill_steps:
                 self._distill_steps[nd] = jax.jit(steps_mod.make_arc2face_distill_step(
                     self.optimizer, self.frozen, self.tokenizer,
                     self.subj_basis_cfg, num_denoising_steps=nd,
                     compute_dtype=self.dtype,
-                    skip_weights=self.cfg.skip_weights))
+                    skip_weights=self.cfg.skip_weights,
+                    allow_self_teacher=self.cfg.allow_self_teacher))
             self.state, metrics = self._distill_steps[nd](
                 self.state, self._fp, batch, self._next_key())
             metrics["iter_type"] = "arc2face_distill"
+            metrics["num_denoising_steps"] = nd
+            metrics["distill_bs"] = int(batch["z0"].shape[0])
         else:
+            batch = self._shard_batch(host_batch)
             # fg/bg attention regularizers run on recon iters
             # (calc_recon_and_complem_losses, ddpm.py:3459-3530)
             step_fn = self._get_recon_step(use_bg=use_bg,
@@ -1014,6 +1057,12 @@ class AdaPromptTrainer:
             else:
                 flat.update(ckpt_mod._flatten(tree, f"params.{name}/"))
         ckpt_mod.save_pytree_leaves("optstate", self.state.opt_state, flat)
+        # frozen (pre-training) SubjBasisGenerator copy used by the 0.9/0.1
+        # blend (embedding_manager.py:1472-1502) — must survive resume, or a
+        # resumed run blends against a random re-init.
+        flat.update(ckpt_mod._flatten(self._frozen_sbg_params, "frozen_sbg/"))
+        if self.ema is not None:
+            ckpt_mod.save_pytree_leaves("emastate", self.ema, flat)
         flat["__meta__"] = np.frombuffer(
             json.dumps({"step": step}).encode(), dtype=np.uint8)
         path = os.path.join(self.cfg.out_dir, f"trainer_state-{step}.npz")
@@ -1039,6 +1088,12 @@ class AdaPromptTrainer:
         params.update(arrays)
         opt_template = self.optimizer.init(params)
         opt_state = ckpt_mod.load_pytree_leaves("optstate", opt_template, flat)
+        frozen_flat = {k[len("frozen_sbg/"):]: v for k, v in flat.items()
+                       if k.startswith("frozen_sbg/")}
+        if frozen_flat:
+            self._frozen_sbg_params = ckpt_mod._unflatten(frozen_flat)
+        if self.ema is not None and any(k.startswith("emastate") for k in flat):
+            self.ema = ckpt_mod.load_pytree_leaves("emastate", self.ema, flat)
         self.state = steps_mod.TrainState(params=params, opt_state=opt_state,
                                           step=jnp.asarray(meta["step"], jnp.int32))
         return meta

@@ -50,6 +50,7 @@ def main():
     n_chips = jax.local_device_count()
     best = 0.0
     best_batch = batches[0]
+    per_batch = []
     for batch in batches:
         prompts = ["a portrait photo of a person, detailed, studio lighting"] * batch
         t0 = time.perf_counter()
@@ -68,6 +69,9 @@ def main():
         log(f"bench: batch={batch} steps={steps} iters={n_iters} "
             f"warmup+compile={compile_s:.1f}s run={dt:.2f}s "
             f"-> {ips:.3f} img/s/chip")
+        per_batch.append({"batch": batch, "img_per_sec": round(ips, 4),
+                          "run_s": round(dt, 2),
+                          "compile_s": round(compile_s, 1)})
         if ips > best:
             best, best_batch = ips, batch
 
@@ -77,6 +81,7 @@ def main():
         "unit": "img/s/chip",
         "vs_baseline": round(best / BASELINE_IMGS_PER_SEC, 4),
         "batch": best_batch,
+        "per_batch": per_batch,
     }))
 
 

@@ -54,6 +54,22 @@ def test_txt2img_cli(tiny_pipe, tmp_path, monkeypatch):
     assert os.path.exists(paths[0])
 
 
+def test_train_static_cli(tiny_pipe, subject_dir, tmp_path, monkeypatch):
+    """--mode static must run end-to-end: regression for the CLI passing
+    (state, batch, key) to a step whose signature is (state, fp, batch, key)."""
+    import os
+    from adaprompt_tpu.cli import train as train_cli
+    monkeypatch.setattr(cli_common, "load_pipeline", lambda a: tiny_pipe)
+    out = str(tmp_path / "static_run")
+    train_cli.main([
+        "--mode", "static", "--data_roots", str(tmp_path),
+        "--num_steps", "1", "--bs", "2", "--size", "64",
+        "--ckpt_every", "1", "--out_dir", out,
+        "--num_vectors_per_subj_token", "2", "--static_rank", "2",
+    ])
+    assert any(f.startswith("static_emb_gs-") for f in os.listdir(out))
+
+
 def test_infer_cli(tiny_pipe, subject_dir, tmp_path, monkeypatch):
     from adaprompt_tpu.cli import infer
     monkeypatch.setattr(cli_common, "load_pipeline", lambda a: tiny_pipe)

@@ -199,3 +199,43 @@ def test_zs_recon_step_with_bg_and_regs(env):
     # global scale scores must receive gradient too
     assert not np.allclose(np.asarray(state.params["emb_scales"]),
                            np.asarray(state2.params["emb_scales"]))
+
+
+def test_zs_recon_step_with_conv_attn(env):
+    """--use_conv_attn_kernel_size threading: the recon step with conv-attn
+    enabled replaces the subject attention rows and changes the loss
+    (main.py:225; openaimodel.py:922-932; attention.py:208-216)."""
+    from adaprompt_tpu.adaface import conditioner as cond_mod
+    from adaprompt_tpu.train import trainer as trainer_mod
+
+    tok, frozen, scfg, sparams = env
+    optimizer = prodigy(lr=1.0)
+    trainable = {"subj_basis": sparams}
+    state = steps_mod.create_train_state(trainable, optimizer)
+
+    specs = cond_mod.make_placeholders(tok, ("z",), (),
+                                       num_vectors_subj=scfg.num_out_embs_per_layer)
+    ids = tok(["a photo of a z person", "a z in the park"], max_length=77)
+    bi, pos = cond_mod.find_placeholder_indices(ids, specs[0])
+    rng = np.random.default_rng(4)
+    faceid = rng.standard_normal((2, 512)).astype(np.float32)
+    faceid /= np.linalg.norm(faceid, axis=-1, keepdims=True)
+    batch = {"z0": jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32),
+             "faceid": jnp.asarray(faceid),
+             "caption_ids": jnp.asarray(ids),
+             "subj_bi": jnp.asarray(bi, jnp.int32),
+             "subj_pos": jnp.asarray(pos, jnp.int32),
+             "fg_mask": None, "aug_mask": None,
+             "skip_weights": jnp.asarray([0.5, 0.5], jnp.float32)}
+    fp = steps_mod.frozen_params(frozen)
+
+    losses = {}
+    for ks in (0, 3):
+        step = jax.jit(trainer_mod.make_zs_recon_step(
+            optimizer, frozen, tok, scfg, compute_dtype=jnp.float32,
+            conv_attn_kernel_size=ks))
+        _, metrics = step(state, fp, batch, jax.random.PRNGKey(11))
+        losses[ks] = float(metrics["loss_recon"])
+        assert np.isfinite(losses[ks])
+    # the replaced subject rows must actually change the prediction
+    assert abs(losses[0] - losses[3]) > 1e-8, losses

@@ -115,10 +115,64 @@ def test_trainer_two_steps(subject_tree, tmp_path):
     d_before = float(tr.state.opt_state.inner_opt_state[1].d) \
         if hasattr(tr.state.opt_state, "inner_opt_state") else None
     before = jax.tree.leaves(tr.state.params)
+    frozen_before = jax.tree.leaves(tr._frozen_sbg_params)
     tr.state = trainer_mod.steps_mod.create_train_state(tr.state.params,
                                                         tr.optimizer)
+    # a resumed process re-inits the frozen SBG copy randomly; load must
+    # restore the saved one or the 0.9/0.1 blend is corrupted
+    tr._frozen_sbg_params = jax.tree.map(
+        lambda x: x + 1.0 if hasattr(x, "dtype") else x, tr._frozen_sbg_params)
     meta = tr.load_full_state(sp)
     assert meta["step"] == 5
     after = jax.tree.leaves(tr.state.params)
     for a, b in zip(before, after):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    for a, b in zip(frozen_before, jax.tree.leaves(tr._frozen_sbg_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_half_bs_on_multistep_distill(subject_tree, tmp_path, monkeypatch):
+    """ND>1 distill iters train on only the first ceil(B/ND) rows
+    (HALF_BS, ddpm.py:1855-1880) to bound the ND-chained UNet cost."""
+    tok = build_word_vocab(tmp_path)
+    tcfg = clip_text.CLIPTextConfig(vocab_size=50000, hidden_size=HIDDEN,
+                                    intermediate_size=HIDDEN * 2, num_layers=2,
+                                    num_heads=8, eos_token_id=tok.eos_id)
+    ucfg = unet_mod.UNetConfig(model_channels=32, channel_mult=(1, 2),
+                               num_res_blocks=1, attention_ds=(1, 2),
+                               num_heads=4, context_dim=HIDDEN,
+                               use_checkpoint=False)
+    vcfg = vae_mod.VAEConfig(ch=32, ch_mult=(1, 2, 4), num_res_blocks=1)
+    keys = jax.random.split(jax.random.PRNGKey(1), 5)
+    frozen = steps_mod.FrozenSD(
+        unet=unet_mod.init_params(keys[0], ucfg),
+        text=clip_text.init_params(keys[1], tcfg),
+        arc2face_text=clip_text.init_params(keys[2], tcfg),
+        teacher_unet=unet_mod.init_params(keys[3], ucfg),
+        unet_cfg=ucfg, text_cfg=tcfg, arc2face_text_cfg=tcfg)
+    scfg = sbg.SubjBasisConfig(placeholder_is_bg=False, output_dim=HIDDEN,
+                               text_cfg=tcfg)
+    sparams = sbg.init_params(keys[4], scfg)
+    vae_params = vae_mod.init_params(jax.random.PRNGKey(9), vcfg)
+    subjects = ds.scan_subject_folders(subject_tree)
+    dset = ds.PersonalizedDataset(subjects, size=IMG, seed=0,
+                                  num_vectors_per_subj_token=16)
+    it = ds.make_batch_iterator(dset, ds.SubjectSampler(subjects, seed=0),
+                                batch_size=4)
+    cfg = trainer_mod.TrainerConfig(
+        max_steps=10, grad_accum=1, arc2face_distill_iter_prob=1.0,
+        max_num_denoising_steps=3, ckpt_every=100, fgbg_reg=False,
+        out_dir=str(tmp_path / "run_hb"), compute_dtype="float32", seed=0)
+    tr = trainer_mod.AdaPromptTrainer(frozen, vae_params, vcfg, tok, scfg,
+                                      sparams, it, cfg,
+                                      synthetic_faces=True)
+    monkeypatch.setattr(tr, "_sample_num_denoising_steps", lambda: 3)
+    m = tr.train_step(1)
+    assert m["iter_type"] == "arc2face_distill"
+    assert m["num_denoising_steps"] == 3
+    assert m["distill_bs"] == 2          # ceil(4/3) = 2
+    assert np.isfinite(m["loss_arc2face_distill"])
+    # ND=1 keeps the full batch
+    monkeypatch.setattr(tr, "_sample_num_denoising_steps", lambda: 1)
+    m = tr.train_step(2)
+    assert m["distill_bs"] == 4

@@ -104,11 +104,16 @@ def test_trainer_distributed_step(tmp_path):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     cmd = [sys.executable, "-c", body]
-    try:
-        os.nice(-5)  # resist rendezvous starvation under parallel load
-    except OSError:
-        pass
-    res = subprocess.run(cmd, env=env,
+
+    def _renice_child():
+        # resist rendezvous starvation under parallel load — child only,
+        # never the pytest parent
+        try:
+            os.nice(-5)
+        except OSError:
+            pass
+
+    res = subprocess.run(cmd, env=env, preexec_fn=_renice_child,
                          capture_output=True, text=True, timeout=1500)
     assert res.returncode == 0, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-3000:]}"
     assert "MESH_OK" in res.stdout

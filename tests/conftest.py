@@ -46,7 +46,7 @@ _SLOW_FILES = {
     "test_train_steps.py", "test_conditioner.py", "test_vae.py",
     "test_diffusers_port.py", "test_bisenet.py", "test_arcface.py",
     "test_face_tools.py", "test_eval.py", "test_checkpoint.py",
-    "test_attention.py",
+    "test_attention.py", "test_golden_chain.py",
 }
 
 

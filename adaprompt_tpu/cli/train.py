@@ -52,8 +52,11 @@ def parse_args(argv=None):
                    help="train on random face ids (smoke runs only; the "
                         "reference's gen_arc2face_rand_face fallback)")
     p.add_argument("--detector", type=str, default=None,
-                   help="face detector: 'center_crop' (default) or "
-                        "'cascade:<opencv_xml_path>'")
+                   help="face detector: 'bisenet:<79999_iter.pth>' (parsing "
+                        "detection + alignment; also the default when "
+                        "$ADAPROMPT_BISENET_CKPT is set), "
+                        "'cascade:<opencv_xml_path>', or 'center_crop' "
+                        "(the default otherwise)")
     p.add_argument("--clip_ckpt", type=str, default=None,
                    help="CLIP ViT-B/32 weights for compositional teacher "
                         "filtering (do_clip_teacher_filtering)")

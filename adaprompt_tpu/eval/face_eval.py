@@ -66,14 +66,30 @@ def make_cascade_detector(cascade_xml_path: str, size: int = 112,
 
 
 def make_detector(spec: str | None, size: int = 112):
-    """Detector factory: None/'center_crop' -> center-crop fallback;
-    'cascade:<xml_path>' -> OpenCV cascade detection."""
-    if spec in (None, "center_crop"):
+    """Detector factory:
+      * 'bisenet:<79999_iter.pth>' -> BiSeNet-parsing detection + Umeyama
+        alignment (eval/face_detect.py — the default real detector, filling
+        the reference's RetinaFace role, adaface/util.py:242-341);
+      * 'cascade:<xml_path>' -> OpenCV cascade detection;
+      * 'center_crop' -> center-crop fallback;
+      * None -> bisenet when $ADAPROMPT_BISENET_CKPT points at weights,
+        center-crop otherwise.
+    """
+    if spec is None:
+        env = os.environ.get("ADAPROMPT_BISENET_CKPT")
+        spec = f"bisenet:{env}" if env and os.path.exists(env) else "center_crop"
+    if spec == "center_crop":
         return None  # FaceSimilarityEvaluator defaults to center_crop
+    if spec.startswith("bisenet:"):
+        from adaprompt_tpu.eval.face_detect import make_bisenet_detector
+        from adaprompt_tpu.models import bisenet
+        from adaprompt_tpu.utils.torch_port import load_state_dict
+        params = bisenet.from_torch(load_state_dict(spec.split(":", 1)[1]))
+        return make_bisenet_detector(params, size=size)
     if spec.startswith("cascade:"):
         return make_cascade_detector(spec.split(":", 1)[1], size=size)
-    raise ValueError(f"unknown detector spec {spec!r}; "
-                     "use 'center_crop' or 'cascade:<xml_path>'")
+    raise ValueError(f"unknown detector spec {spec!r}; use 'center_crop', "
+                     "'bisenet:<pth_path>' or 'cascade:<xml_path>'")
 
 
 def center_crop_detector(image_np: np.ndarray, size: int = 112) -> list[np.ndarray]:
@@ -97,7 +113,9 @@ class FaceSimilarityEvaluator:
         self._af = af
         self.params = arcface_params
         self.cfg = arcface_cfg or af.IRESNET100
-        self.detector = detector or center_crop_detector
+        # default resolves through the env-aware factory: BiSeNet parsing
+        # detection when $ADAPROMPT_BISENET_CKPT is set, center-crop last
+        self.detector = detector or make_detector(None) or center_crop_detector
         self.batch_size = batch_size
 
     def embed_image(self, image_np: np.ndarray) -> np.ndarray:

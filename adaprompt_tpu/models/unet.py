@@ -63,6 +63,11 @@ class UNetConfig:
     # fuse GroupNorm-SiLU into the ResBlock convs via the Pallas halo kernel
     # (TPU/bf16/spatial>=16 only; +20-80% on those convs, ops/conv_halo.py)
     fused_conv: bool = False
+    # opt-in quantized inference: "int8" runs the transformer linears
+    # (self-attn q/k/v/out, cross-attn q/out, GEGLU FF) as w8a8 MXU int8
+    # matmuls (ops/quant.py; v5e int8 rate is 2x bf16). Forward-only —
+    # never enable for training (round() has no gradient).
+    quant: str | None = None
 
     @property
     def time_embed_dim(self):
@@ -71,10 +76,11 @@ class UNetConfig:
 
 import os as _os0
 
-# perf knob: ADAPROMPT_FUSED_CONV=1 enables the Pallas GN-SiLU-conv halo
-# kernel for the default config (ops/conv_halo.py; see docs/PERF.md)
+# perf knobs: ADAPROMPT_FUSED_CONV=1 enables the Pallas GN-SiLU-conv halo
+# kernel; ADAPROMPT_QUANT=int8 enables the w8a8 sampler path (docs/PERF.md)
 SD15_UNET_CONFIG = UNetConfig(
-    fused_conv=bool(_os0.environ.get("ADAPROMPT_FUSED_CONV")))
+    fused_conv=bool(_os0.environ.get("ADAPROMPT_FUSED_CONV")),
+    quant=_os0.environ.get("ADAPROMPT_QUANT") or None)
 
 
 def timestep_embedding(timesteps: jax.Array, dim: int, max_period: int = 10000) -> jax.Array:
@@ -420,11 +426,21 @@ def _resblock(p: dict, x: jax.Array, emb: jax.Array,
     return x + h
 
 
+def _qlinear(x, kernel, bias=None, quant=None):
+    """Linear that runs as a w8a8 int8 MXU matmul when quant == "int8"
+    (sampler opt-in; ops/quant.py), plain bf16/f32 otherwise."""
+    if quant == "int8":
+        from adaprompt_tpu.ops.quant import int8_linear
+        return int8_linear(x, kernel, bias)
+    return linear(x, kernel, bias)
+
+
 def _cross_attention(p: dict, x: jax.Array, ctx_v: jax.Array, ctx_k: jax.Array,
                      num_heads: int, self_mask: jax.Array | None = None,
                      capture: bool = False, kv=None,
                      conv_attn: dict | None = None,
-                     infeat_size: tuple | None = None):
+                     infeat_size: tuple | None = None,
+                     quant: str | None = None):
     """LDM CrossAttention (attention.py:147-257) with separate V/K contexts.
 
     x: [B, N, C]; ctx_*: [B, S, Dctx]. self_mask: [B, N] key mask (1=keep)
@@ -443,7 +459,7 @@ def _cross_attention(p: dict, x: jax.Array, ctx_v: jax.Array, ctx_k: jax.Array,
     scale = hd ** -0.5
     from adaprompt_tpu.ops.attention import pallas_ok
     if (kv is not None and not capture and conv_attn is None
-            and n >= 512 and pallas_ok()):
+            and n >= 512 and quant is None and pallas_ok()):
         # sampler fast path: fused q-proj+attn+out-proj kernel over the
         # tiny precomputed context K/V (ops/attention.py)
         from adaprompt_tpu.ops.attention import fused_cross_attention
@@ -453,12 +469,12 @@ def _cross_attention(p: dict, x: jax.Array, ctx_v: jax.Array, ctx_k: jax.Array,
             num_heads), None
     if ctx_v is None:  # self-attention
         ctx_v = ctx_k = x
-    q = linear(x, p["to_q"]["kernel"]).reshape(b, n, num_heads, hd)
+    q = _qlinear(x, p["to_q"]["kernel"], quant=quant).reshape(b, n, num_heads, hd)
     if kv is not None:
         k, v = kv
     else:
-        k = linear(ctx_k, p["to_k"]["kernel"]).reshape(b, -1, num_heads, hd)
-        v = linear(ctx_v, p["to_v"]["kernel"]).reshape(b, -1, num_heads, hd)
+        k = _qlinear(ctx_k, p["to_k"]["kernel"], quant=quant).reshape(b, -1, num_heads, hd)
+        v = _qlinear(ctx_v, p["to_v"]["kernel"], quant=quant).reshape(b, -1, num_heads, hd)
 
     key_bias = None
     if self_mask is not None:
@@ -494,7 +510,8 @@ def _cross_attention(p: dict, x: jax.Array, ctx_v: jax.Array, ctx_k: jax.Array,
         return out, cached
 
     out = dot_product_attention(q, k, v, key_bias=key_bias, scale=scale)
-    out = linear(out.reshape(b, n, c), p["to_out"]["kernel"], p["to_out"]["bias"])
+    out = _qlinear(out.reshape(b, n, c), p["to_out"]["kernel"],
+                   p["to_out"]["bias"], quant=quant)
     return out, None
 
 
@@ -506,11 +523,11 @@ import os as _os
 _ABLATE = frozenset(filter(None, _os.environ.get("ADAPROMPT_ABLATE", "").split(",")))
 
 
-def _geglu_ff(p: dict, x: jax.Array) -> jax.Array:
+def _geglu_ff(p: dict, x: jax.Array, quant: str | None = None) -> jax.Array:
     if "ff" in _ABLATE:
         return x
     from adaprompt_tpu.ops.attention import pallas_ok
-    if pallas_ok():
+    if quant is None and pallas_ok():
         from adaprompt_tpu.ops.geglu import fused_eligible, geglu
         if fused_eligible(x, p["proj"]["kernel"]):
             # fused proj->gelu-gate->out Pallas kernel: the [M, 8C] and
@@ -518,15 +535,16 @@ def _geglu_ff(p: dict, x: jax.Array) -> jax.Array:
             # the FF stack is ~26% of DDIM time, docs/PERF.md)
             return geglu(x, p["proj"]["kernel"], p["proj"]["bias"],
                          p["out"]["kernel"], p["out"]["bias"])
-    h = linear(x, p["proj"]["kernel"], p["proj"]["bias"])
+    h = _qlinear(x, p["proj"]["kernel"], p["proj"]["bias"], quant=quant)
     a, gate = jnp.split(h, 2, axis=-1)
     h = a * jax.nn.gelu(gate, approximate=False)
-    return linear(h, p["out"]["kernel"], p["out"]["bias"])
+    return _qlinear(h, p["out"]["kernel"], p["out"]["bias"], quant=quant)
 
 
 def _spatial_transformer(p: dict, x: jax.Array, ctx_v, ctx_k, num_heads: int,
                          img_mask=None, capture: bool = False, kv=None,
-                         conv_attn: dict | None = None):
+                         conv_attn: dict | None = None,
+                         quant: str | None = None):
     b, h, w, c = x.shape
     x_in = x
     y = group_norm(x, p["norm"]["scale"], p["norm"]["bias"], eps=1e-6)
@@ -548,17 +566,19 @@ def _spatial_transformer(p: dict, x: jax.Array, ctx_v, ctx_k, num_heads: int,
         # The separate flash kernel stays the self-attention path.
         a1, _ = _cross_attention(bp["attn1"],
                                  layer_norm(y, bp["norm1"]["scale"], bp["norm1"]["bias"]),
-                                 None, None, num_heads, self_mask=self_mask)
+                                 None, None, num_heads, self_mask=self_mask,
+                                 quant=quant)
         y = y + a1
     if "cross" not in _ABLATE:
         a2, cached = _cross_attention(bp["attn2"], layer_norm(y, bp["norm2"]["scale"], bp["norm2"]["bias"]),
                                       ctx_v, ctx_k, num_heads, capture=capture,
                                       kv=kv, conv_attn=conv_attn,
-                                      infeat_size=(h, w))
+                                      infeat_size=(h, w), quant=quant)
         y = y + a2
     else:
         cached = None
-    y = y + _geglu_ff(bp["ff"], layer_norm(y, bp["norm3"]["scale"], bp["norm3"]["bias"]))
+    y = y + _geglu_ff(bp["ff"], layer_norm(y, bp["norm3"]["scale"], bp["norm3"]["bias"]),
+                      quant=quant)
 
     y = y.reshape(b, h, w, c)
     y = conv1x1(y, p["proj_out"]["kernel"][0, 0], p["proj_out"]["bias"])
@@ -650,7 +670,8 @@ def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array
                 h, cached = _spatial_transformer(bp["attn"], h, cv, ck,
                                                  cfg.num_heads, img_mask=mask,
                                                  capture=cap, kv=kv,
-                                                 conv_attn=cattn)
+                                                 conv_attn=cattn,
+                                                 quant=cfg.quant)
             if "upsample" in bp:
                 h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
                 h = conv2d(h, bp["upsample"]["kernel"], bp["upsample"]["bias"])
@@ -690,7 +711,7 @@ def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array
         h = _resblock(mb["res1"], h, emb, cfg.fused_conv)
         h, cached = _spatial_transformer(mb["attn"], h, cv, ck, cfg.num_heads,
                                          img_mask=mask, capture=mid_cap, kv=kv,
-                                         conv_attn=cattn)
+                                         conv_attn=cattn, quant=cfg.quant)
         h = _resblock(mb["res2"], h, emb, cfg.fused_conv)
         if mid_cap and cached is not None:
             cached["outfeat"] = h

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +41,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _FLASH_MIN_Q = 512  # below this, the XLA path is faster than kernel launch overhead
 NEG_BIG = -1e9      # masked-key bias; finite so exp arithmetic stays NaN-free
+
+# A/B knob: ADAPROMPT_NO_FLASH=1 forces the XLA einsum path wherever the
+# auto policy would pick the Pallas flash kernel (explicit use_flash=True
+# still honored). Read at import, like models.unet._ABLATE.
+_NO_FLASH = bool(os.environ.get("ADAPROMPT_NO_FLASH"))
 
 
 def pallas_ok() -> bool:
@@ -77,8 +83,8 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if use_flash is None:
-        use_flash = (mask is None and q.shape[1] >= _FLASH_MIN_Q
-                     and pallas_ok())
+        use_flash = (not _NO_FLASH and mask is None
+                     and q.shape[1] >= _FLASH_MIN_Q and pallas_ok())
     if use_flash:
         if mask is not None:
             raise ValueError("use_flash=True cannot honor a full additive "

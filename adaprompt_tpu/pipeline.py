@@ -61,7 +61,13 @@ class StableDiffusionPipeline:
                  text_cfg: clip_text.CLIPTextConfig = clip_text.SD15_TEXT_CONFIG,
                  sched: DiffusionSchedule = SD15_SCHEDULE,
                  compute_dtype=jnp.bfloat16,
-                 param_dtype=None):
+                 param_dtype=None,
+                 quant: str | None = None):
+        """quant="int8" switches the UNet transformer linears to the w8a8
+        MXU path (ops/quant.py) — opt-in serving speedup, see docs/PERF.md;
+        same as env ADAPROMPT_QUANT=int8."""
+        if quant is not None:
+            unet_cfg = dataclasses.replace(unet_cfg, quant=quant)
         if param_dtype is not None:
             params = params.astype(param_dtype)
         self.params = params

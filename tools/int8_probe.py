@@ -90,8 +90,98 @@ def time_matmul(m, k, n, dtype, acc, n_chain=48, batch=1):
     return per * 1e3, flops / per / 1e12
 
 
+def time_op(fn, args, n_chain=48):
+    """Time fn(*args) amortized in a data-dependent scan chain."""
+    def chain(*args):
+        def body(c, _):
+            out = fn(args[0] + c.astype(args[0].dtype), *args[1:])
+            return jnp.sum(out.astype(jnp.float32)) * 1e-30, None
+        c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                            length=n_chain)
+        return c
+    f = jax.jit(chain)
+    sync(f(*args))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sync(f(*args))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - _sync_overhead(n_chain), 1e-9) / n_chain
+
+
+def e2e_cases():
+    """End-to-end op timings INCLUDING dynamic-quant overhead: the real
+    decision input for the w8a8 sampler path (ops/quant.py)."""
+    from adaprompt_tpu.ops.quant import int8_linear, int8_matmul_2operand
+    from adaprompt_tpu.ops.layers import linear
+    print("--- e2e w8a8 ops (incl. dynamic activation quant) ---")
+    lin_cases = [
+        ("FF proj C=320", (16 * 4096, 320), (320, 2560)),
+        ("FF out  C=320", (16 * 4096, 1280), (1280, 320)),
+        ("qkv     C=320", (16 * 4096, 320), (320, 320)),
+        ("FF proj C=640", (16 * 1024, 640), (640, 5120)),
+        ("FF out  C=640", (16 * 1024, 2560), (2560, 640)),
+        ("FF proj C=1280", (16 * 256, 1280), (1280, 10240)),
+        ("FF out  C=1280", (16 * 256, 5120), (5120, 1280)),
+    ]
+    for label, xs, ws in lin_cases:
+        kx, kw = jax.random.split(jax.random.PRNGKey(0))
+        x = jax.random.normal(kx, xs, jnp.bfloat16)
+        w = jax.random.normal(kw, ws, jnp.bfloat16)
+        flops = 2.0 * xs[0] * ws[0] * ws[1]
+        n_chain = int(min(1024, max(48, 0.10 / (flops / 200e12))))
+        t_bf = time_op(lambda a, b: linear(a, b), (x, w), n_chain)
+        t_i8 = time_op(lambda a, b: int8_linear(a, b), (x, w), n_chain)
+        print(f"{label:18s} bf16 {t_bf*1e3:7.3f} ms ({flops/t_bf/1e12:6.1f} TF/s)  "
+              f"w8a8 {t_i8*1e3:7.3f} ms ({flops/t_i8/1e12:6.1f} TOP/s)  "
+              f"speedup {t_bf/t_i8:4.2f}x")
+
+    # attention PV with both-operand dynamic quant (bh=32 to fit HBM)
+    kp, kv = jax.random.split(jax.random.PRNGKey(1))
+    p = jax.nn.softmax(
+        jax.random.normal(kp, (32, 4096, 4096), jnp.bfloat16) * 2.0,
+        axis=-1)
+    v = jax.random.normal(kv, (32, 4096, 40), jnp.bfloat16)
+    flops = 2.0 * 32 * 4096 * 4096 * 40
+    t_bf = time_op(lambda a, b: jnp.einsum(
+        "bqk,bkd->bqd", a, b, preferred_element_type=jnp.float32), (p, v), 24)
+    t_i8 = time_op(lambda a, b: int8_matmul_2operand(a, b), (p, v), 24)
+    print(f"{'attn PV dyn-quant':18s} bf16 {t_bf*1e3:7.3f} ms ({flops/t_bf/1e12:6.1f} TF/s)  "
+          f"w8a8 {t_i8*1e3:7.3f} ms ({flops/t_i8/1e12:6.1f} TOP/s)  "
+          f"speedup {t_bf/t_i8:4.2f}x")
+
+    # conv3x3 at SD shapes: does XLA:TPU run int8 convs at MXU int8 rate?
+    print("--- conv3x3 (NHWC/HWIO) ---")
+    for label, b, hw, cin, cout in [("conv 64x64x320", 16, 64, 320, 320),
+                                    ("conv 32x32x640", 16, 32, 640, 640),
+                                    ("conv 16x16x1280", 16, 16, 1280, 1280)]:
+        kx, kw = jax.random.split(jax.random.PRNGKey(2))
+        x = jax.random.normal(kx, (b, hw, hw, cin), jnp.bfloat16)
+        w = jax.random.normal(kw, (3, 3, cin, cout), jnp.bfloat16)
+        conv = lambda a, k, dt: jax.lax.conv_general_dilated(
+            a, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dt)
+        flops = 2.0 * b * hw * hw * 9 * cin * cout
+        n_chain = int(min(512, max(48, 0.10 / (flops / 200e12))))
+        t_bf = time_op(lambda a, k: conv(a, k, jnp.float32), (x, w), n_chain)
+        row = (f"{label:18s} bf16 {t_bf*1e3:7.3f} ms "
+               f"({flops/t_bf/1e12:6.1f} TF/s)  ")
+        try:
+            xi = jnp.clip(jnp.round(x.astype(jnp.float32) * 10), -127, 127).astype(jnp.int8)
+            wi = jnp.clip(jnp.round(w.astype(jnp.float32) * 10), -127, 127).astype(jnp.int8)
+            t_i8 = time_op(lambda a, k: conv(a, k, jnp.int32), (xi, wi), n_chain)
+            row += (f"int8 {t_i8*1e3:7.3f} ms ({flops/t_i8/1e12:6.1f} TOP/s)  "
+                    f"speedup {t_bf/t_i8:4.2f}x")
+        except Exception as e:  # int8 conv may not lower on this backend
+            row += f"int8 FAILED: {str(e)[:80]}"
+        print(row, flush=True)
+
+
 def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
+    if "--e2e" in sys.argv:
+        e2e_cases()
+        return
     cases = [
         # (label, m, k, n, batch)
         ("square 2048^3", 2048, 2048, 2048, 1),

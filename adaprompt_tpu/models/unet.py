@@ -427,11 +427,16 @@ def _resblock(p: dict, x: jax.Array, emb: jax.Array,
 
 
 def _qlinear(x, kernel, bias=None, quant=None):
-    """Linear that runs as a w8a8 int8 MXU matmul when quant == "int8"
-    (sampler opt-in; ops/quant.py), plain bf16/f32 otherwise."""
-    if quant == "int8":
-        from adaprompt_tpu.ops.quant import int8_linear
-        return int8_linear(x, kernel, bias)
+    """Projection linear on the quantized path.
+
+    Measured on the v5e slice (docs/PERF.md round-3 A/B): XLA-level
+    dynamic-quant int8 matmuls at the projection shapes ([M,320]@[320,320]
+    etc.) are NET-NEGATIVE — the unfused abs-max/round/clip passes cost
+    more than the int8 MXU rate saves (end-to-end bench 1.055 vs 1.086
+    img/s). int8 only pays where the quantization is fused INSIDE a Pallas
+    kernel (geglu_int8, fused_cross_attention_int8), so quant="int8" keeps
+    plain bf16 projections here."""
+    del quant
     return linear(x, kernel, bias)
 
 
@@ -459,15 +464,20 @@ def _cross_attention(p: dict, x: jax.Array, ctx_v: jax.Array, ctx_k: jax.Array,
     scale = hd ** -0.5
     from adaprompt_tpu.ops.attention import pallas_ok
     if (kv is not None and not capture and conv_attn is None
-            and n >= 512 and quant is None and pallas_ok()):
+            and n >= 512 and quant in (None, "int8") and pallas_ok()):
         # sampler fast path: fused q-proj+attn+out-proj kernel over the
-        # tiny precomputed context K/V (ops/attention.py)
-        from adaprompt_tpu.ops.attention import fused_cross_attention
-        return fused_cross_attention(
+        # tiny precomputed context K/V (ops/attention.py); the int8 variant
+        # additionally runs both projections as w8a8 MXU matmuls
+        from adaprompt_tpu.ops.attention import (fused_cross_attention,
+                                                 fused_cross_attention_int8)
+        fn = (fused_cross_attention_int8 if quant == "int8"
+              else fused_cross_attention)
+        return fn(
             x, p["to_q"]["kernel"], kv[0], kv[1],
             p["to_out"]["kernel"], p["to_out"]["bias"], scale,
             num_heads), None
-    if ctx_v is None:  # self-attention
+    is_self = ctx_v is None
+    if is_self:
         ctx_v = ctx_k = x
     q = _qlinear(x, p["to_q"]["kernel"], quant=quant).reshape(b, n, num_heads, hd)
     if kv is not None:
@@ -509,6 +519,11 @@ def _cross_attention(p: dict, x: jax.Array, ctx_v: jax.Array, ctx_k: jax.Array,
             }
         return out, cached
 
+    # NOTE: an int8-QK flash kernel exists (ops/attention.py
+    # flash_attention_int8, SageAttention-style) but measured EXACTLY the
+    # bf16 kernel's speed on this slice (9.2-10.7ms both, docs/PERF.md) —
+    # at D=40 the MXU is lane-padding-bound either way, so the bf16 kernel
+    # stays the only self-attention path even under quant="int8".
     out = dot_product_attention(q, k, v, key_bias=key_bias, scale=scale)
     out = _qlinear(out.reshape(b, n, c), p["to_out"]["kernel"],
                    p["to_out"]["bias"], quant=quant)
@@ -527,9 +542,16 @@ def _geglu_ff(p: dict, x: jax.Array, quant: str | None = None) -> jax.Array:
     if "ff" in _ABLATE:
         return x
     from adaprompt_tpu.ops.attention import pallas_ok
-    if quant is None and pallas_ok():
-        from adaprompt_tpu.ops.geglu import fused_eligible, geglu
-        if fused_eligible(x, p["proj"]["kernel"]):
+    if pallas_ok():
+        from adaprompt_tpu.ops.geglu import (fused_eligible,
+                                             fused_int8_eligible, geglu,
+                                             geglu_int8)
+        if quant == "int8" and fused_int8_eligible(x, p["proj"]["kernel"]):
+            # w8a8 fused FF: VMEM-resident intermediates AND 2x int8 MXU
+            # rate; int8 weights also let the C=640 layers fuse
+            return geglu_int8(x, p["proj"]["kernel"], p["proj"]["bias"],
+                              p["out"]["kernel"], p["out"]["bias"])
+        if quant is None and fused_eligible(x, p["proj"]["kernel"]):
             # fused proj->gelu-gate->out Pallas kernel: the [M, 8C] and
             # [M, 4C] intermediates stay in VMEM (~3x less HBM traffic;
             # the FF stack is ~26% of DDIM time, docs/PERF.md)

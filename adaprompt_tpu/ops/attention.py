@@ -120,39 +120,46 @@ def _pick_block(n, target):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref, *,
                 scale, block_k, seq_k, has_bias):
-    # Per program: q_ref [block_q, D]; k_ref [seq_k, D]; v_ref [seq_k, Dv];
-    # b_ref [1, seq_k]. Matmuls run on bf16 inputs with fp32 accumulation
-    # (full MXU rate); softmax statistics stay fp32.
-    q = q_ref[:]
+    # Per program: q_ref [block_q, D]; k_ref [seq_k, D]; v_ref [seq_k, Dv+1]
+    # (V augmented with a ones column OUTSIDE the kernel); b_ref [1, seq_k].
+    #
+    # VPU-bound shape: at D=40 both matmuls cap at 40/128 of the MXU rate,
+    # so the fp32 softmax passes over the [block_q, seq_k] scores dominate.
+    # Two passes are removed here: the sm scale is folded into the small q
+    # tile (instead of a full-width multiply of the scores), and the row sum
+    # l rides the PV matmul as V's ones column — the D=40..41 output pads to
+    # 128 lanes anyway, so the MXU computes l for free and the explicit
+    # jnp.sum reduction disappears. Measured 1.36x on the kernel (PERF.md).
+    q = (q_ref[:].astype(jnp.float32) * scale).astype(q_ref.dtype)
     block_q, d = q.shape
-    dv = v_ref.shape[-1]
+    dva = v_ref.shape[-1]                # Dv + 1 (ones column)
 
     def body(i, carry):
-        m_prev, l_prev, acc = carry
+        m_prev, acc = carry
         k_blk = k_ref[pl.ds(i * block_k, block_k), :]
         v_blk = v_ref[pl.ds(i * block_k, block_k), :]
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
         if has_bias:
             s = s + b_ref[0, pl.ds(i * block_k, block_k)][None, :]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jnp.dot(p.astype(v_blk.dtype), v_blk,
                                     preferred_element_type=jnp.float32)
-        return m_new, l_new, acc
+        return m_new, acc
 
     m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc0 = jnp.zeros((block_q, dv), jnp.float32)
+    acc0 = jnp.zeros((block_q, dva), jnp.float32)
     num_k_blocks = seq_k // block_k
     if num_k_blocks == 1:
         # single K pass: skip the online-softmax rescale traffic entirely
-        m, l, acc = body(0, (m0, l0, acc0))
+        m, acc = body(0, (m0, acc0))
     else:
-        m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
-    o_ref[:] = (acc / l).astype(o_ref.dtype)
+        m, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, acc0))
+    l = acc[:, dva - 1:dva]              # sum_k p (the ones column)
+    o_ref[:] = (acc[:, :dva - 1] / l).astype(o_ref.dtype)
     lse_ref[:] = m + jnp.log(l)          # [block_q, 1]
 
 
@@ -232,6 +239,9 @@ def _flash_fwd_impl(q, k, v, bias, scale, *, interpret=False):
     bias = (bias.astype(jnp.float32)[:, None, :] if has_bias
             else jnp.zeros((1, 1, 1), jnp.float32))  # dummy, never read
     qf, kf, vf = _fold_heads(q), _fold_heads(k), _fold_heads(v)
+    # ones column: the PV matmul then emits the softmax row sum l in an
+    # output lane that was padding anyway (see _fwd_kernel)
+    vf = jnp.concatenate([vf, jnp.ones_like(vf[..., :1])], axis=-1)
 
     # single K pass when K fits VMEM comfortably (<=4096) — avoids the
     # online-softmax rescale traffic; otherwise stream 1024-blocks
@@ -248,7 +258,7 @@ def _flash_fwd_impl(q, k, v, bias, scale, *, interpret=False):
         in_specs=[
             pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((None, sk, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((None, sk, dv), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, sk, dv + 1), lambda i, j: (i, 0, 0)),
             bias_spec,
         ],
         out_specs=[
@@ -429,6 +439,74 @@ def fused_cross_attention(x, wq, k, v, wo, bo, scale, num_heads,
     return out
 
 
+def _fused_cross_i8_kernel(x_ref, wq_ref, sq_ref, k_ref, v_ref, wo_ref,
+                           so_ref, bo_ref, o_ref, *, scale, heads):
+    # w8a8 variant: q-projection and out-projection run int8 x int8 on the
+    # MXU; the per-head attention over the tiny 77-token context stays
+    # bf16/fp32 (too small for quantization to pay, and P@V would need the
+    # noisy P-quant the int8 flash kernel deliberately avoids).
+    x32 = x_ref[:].astype(jnp.float32)                # [bn, C]
+    xs = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0 + 1e-8
+    x_q = jnp.clip(jnp.round(x32 / xs), -127, 127).astype(jnp.int8)
+    q = jnp.dot(x_q, wq_ref[:], preferred_element_type=jnp.int32)
+    q = (q.astype(jnp.float32) * xs * sq_ref[:]).astype(x_ref.dtype)
+    hd = q.shape[-1] // heads
+    outs = []
+    for h in range(heads):
+        q_h = q[:, h * hd:(h + 1) * hd]
+        k_h = k_ref[h]                                # [S, hd]
+        s = jnp.dot(q_h, k_h.T,
+                    preferred_element_type=jnp.float32) * scale   # [bn, S]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jnp.dot(p.astype(x_ref.dtype), v_ref[h],
+                            preferred_element_type=jnp.float32))
+    o = jnp.concatenate(outs, axis=-1)                # [bn, C] f32
+    os_ = jnp.max(jnp.abs(o), axis=-1, keepdims=True) / 127.0 + 1e-8
+    o_q = jnp.clip(jnp.round(o / os_), -127, 127).astype(jnp.int8)
+    out = jnp.dot(o_q, wo_ref[:], preferred_element_type=jnp.int32)
+    out = out.astype(jnp.float32) * os_ * so_ref[:] + bo_ref[:]
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def fused_cross_attention_int8(x, wq, k, v, wo, bo, scale, num_heads,
+                               interpret=False):
+    """w8a8 fused cross-attention; same contract as fused_cross_attention
+    (forward-only sampler path)."""
+    from adaprompt_tpu.ops.quant import quantize_weight
+    b, n, c = x.shape
+    s = k.shape[1]
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    wq_q, wq_s = quantize_weight(wq)
+    wo_q, wo_s = quantize_weight(wo)
+    block_n = 512
+    while n % block_n:
+        block_n //= 2
+    out = pl.pallas_call(
+        functools.partial(_fused_cross_i8_kernel, scale=scale,
+                          heads=num_heads),
+        grid=(b, n // block_n),
+        in_specs=[
+            pl.BlockSpec((None, block_n, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((c,), lambda i, j: (0,)),
+            pl.BlockSpec((None, num_heads, s, k.shape[-1]),
+                         lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((None, num_heads, s, v.shape[-1]),
+                         lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((c, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((c,), lambda i, j: (0,)),
+            pl.BlockSpec((c,), lambda i, j: (0,)),
+        ],
+        out_specs=pl.BlockSpec((None, block_n, c), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        interpret=interpret,
+    )(x, wq_q, wq_s, kt, vt, wo_q, wo_s, bo.astype(jnp.float32))
+    return out
+
+
 def _fused_self_kernel(x_ref, wq_ref, kv_ref, wo_ref, bo_ref, b_ref,
                        o_ref, *, scale, heads, has_bias):
     x = x_ref[:]                                      # [bn, C]
@@ -501,6 +579,116 @@ def fused_self_attention(x, wq, wk, wv, wo, bo, scale, num_heads,
         interpret=interpret,
     )(x, wq, kv, wo, bo.astype(jnp.float32), bias)
     return out
+
+
+# ---------------------------------------------------------------------------
+# int8-QK flash attention (forward-only; the ADAPROMPT_QUANT=int8 sampler
+# path). SageAttention-style: K is mean-centered along the sequence (softmax
+# is invariant to a per-query constant shift q . k_mean), then Q and K are
+# quantized per-token to int8 so the QK^T matmul runs at the v5e's 2x int8
+# MXU rate; the softmax statistics and the PV matmul stay fp32/bf16 —
+# quantizing P to int8 would put the quant step (1/127) on the same order as
+# diffuse attention probabilities (~1/4096) and drown the output in noise.
+# No reference counterpart (the CUDA repo serves fp16); deployment-path
+# speedup for BASELINE.md's 4 img/s target.
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_i8(q_ref, qs_ref, kt_ref, ks_ref, v_ref, b_ref, o_ref, *,
+                   scale, block_k, seq_k, has_bias):
+    # q_ref [block_q, D] int8; qs_ref [block_q, 1] f32 per-token scales;
+    # kt_ref [D, seq_k] int8 (pre-transposed); ks_ref [1, seq_k] f32;
+    # v_ref [seq_k, Dv] bf16; b_ref [1, seq_k] f32 additive key bias.
+    q = q_ref[:]
+    qs = qs_ref[:] * scale                       # fold sm scale into q scale
+    block_q = q.shape[0]
+    dv = v_ref.shape[-1]
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        kt_blk = kt_ref[:, pl.ds(i * block_k, block_k)]
+        v_blk = v_ref[pl.ds(i * block_k, block_k), :]
+        s32 = jax.lax.dot_general(q, kt_blk, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        s = s32.astype(jnp.float32) * qs         # [bq, bk] * [bq, 1]
+        s = s * ks_ref[0, pl.ds(i * block_k, block_k)][None, :]
+        if has_bias:
+            s = s + b_ref[0, pl.ds(i * block_k, block_k)][None, :]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p.astype(v_blk.dtype), v_blk,
+                                    preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, dv), jnp.float32)
+    num_k_blocks = seq_k // block_k
+    if num_k_blocks == 1:
+        m, l, acc = body(0, (m0, l0, acc0))
+    else:
+        m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
+    o_ref[:] = (acc / l).astype(o_ref.dtype)
+
+
+def _quant_rows(x, axis=-1):
+    """Symmetric per-row int8 quantization: returns (int8 values, f32 scale
+    with the reduced axis kept)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=axis, keepdims=True) / 127.0 + 1e-8
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def flash_attention_int8(q, k, v, key_bias=None, scale=None, interpret=False):
+    """Forward-only flash attention with int8 QK^T (sampler quant path).
+
+    q/k/v: [B, S, H, D]; returns [B, Sq, H, Dv]. Numerics: K mean-centered
+    over Sk (softmax-invariant), Q/K per-token symmetric int8, logits
+    dequantized in fp32, softmax + PV exactly as the bf16 kernel. NOT
+    differentiable — serving only.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    dv = v.shape[-1]
+    has_bias = key_bias is not None
+    bias = (key_bias.astype(jnp.float32)[:, None, :] if has_bias
+            else jnp.zeros((1, 1, 1), jnp.float32))
+
+    k = k - jnp.mean(k, axis=1, keepdims=True)   # per (b, h) key centering
+    qf, kf, vf = _fold_heads(q), _fold_heads(k), _fold_heads(v)
+    q_q, q_s = _quant_rows(qf)                   # [bh, sq, d], [bh, sq, 1]
+    k_q, k_s = _quant_rows(kf)
+    kt = k_q.transpose(0, 2, 1)                  # [bh, d, sk] int8
+    ks = k_s.transpose(0, 2, 1)                  # [bh, 1, sk]
+
+    block_q = _pick_block(sq, 256 if sk >= 4096 else 512)
+    block_k = _pick_block(sk, 4096)
+
+    bias_spec = (pl.BlockSpec((None, 1, sk), lambda i, j: (i // h, 0, 0))
+                 if has_bias else
+                 pl.BlockSpec((None, 1, 1), lambda i, j: (0, 0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_i8, scale=scale, block_k=block_k,
+                          seq_k=sk, has_bias=has_bias),
+        grid=(b * h, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, block_q, 1), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, d, sk), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, 1, sk), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, sk, dv), lambda i, j: (i, 0, 0)),
+            bias_spec,
+        ],
+        out_specs=pl.BlockSpec((None, block_q, dv), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, dv), q.dtype),
+        interpret=interpret,
+    )(q_q, q_s, kt, ks, vf, bias)
+    return out.reshape(b, h, sq, dv).transpose(0, 2, 1, 3)
 
 
 def causal_mask(seq_len: int, dtype=jnp.float32) -> jax.Array:

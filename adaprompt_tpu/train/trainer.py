@@ -85,6 +85,11 @@ class TrainerConfig:
     ckpt_every: int = 500
     out_dir: str = "runs/adaprompt"
     compute_dtype: str = "bfloat16"
+    # fetch device metrics to the host every N steps instead of every step —
+    # the per-step float(v) round-trip becomes the ceiling once the compiled
+    # step is fast. 1 = eager (tests); metrics.jsonl content is identical,
+    # lines are just written in batches of N.
+    metrics_flush_every: int = 16
 
     @classmethod
     def stage2(cls, **overrides):
@@ -422,6 +427,10 @@ class AdaPromptTrainer:
 
         os.makedirs(cfg.out_dir, exist_ok=True)
         self._metrics_file = open(os.path.join(cfg.out_dir, "metrics.jsonl"), "a")
+        # deferred metric rows: [(dev_scalars, host_fields)]; drained every
+        # cfg.metrics_flush_every steps by _flush_metrics (one device_get for
+        # the whole batch instead of a host sync per scalar per step)
+        self._pending_metrics = []
 
     # -- multi-chip -----------------------------------------------------------
 
@@ -856,12 +865,7 @@ class AdaPromptTrainer:
             cbatch = self.prepare_compos_batch(raw)
             if cbatch is not None:
                 metrics = self._compos_step(cbatch)
-                out = {k: (float(v) if hasattr(v, "dtype") else v)
-                       for k, v in metrics.items()}
-                out["step"] = step_idx
-                self._metrics_file.write(json.dumps(out) + "\n")
-                self._metrics_file.flush()
-                return out
+                return self._emit_metrics(step_idx, metrics)
 
         do_distill = self.rng.random() < self.cfg.arc2face_distill_iter_prob
         # bg token only on plain recon iters, prob 0.9 under zero-shot
@@ -917,11 +921,41 @@ class AdaPromptTrainer:
         if self.ema is not None:
             self.ema = self._ema_update(self.ema, self.state.params)
 
-        out = {k: (float(v) if hasattr(v, "dtype") else v)
-               for k, v in metrics.items()}
-        out["step"] = step_idx
-        out.update(self._host_stats())
-        self._metrics_file.write(json.dumps(out) + "\n")
+        return self._emit_metrics(step_idx, metrics, self._host_stats())
+
+    def _emit_metrics(self, step_idx: int, metrics: dict,
+                      host_stats: dict | None = None) -> dict:
+        """Queue a metrics row; fetch device scalars to the host only every
+        cfg.metrics_flush_every steps (ONE `jax.device_get` of the whole
+        window — the per-step `float(v)` sync was the profiled ceiling once
+        the compiled step got fast). metrics.jsonl content is unchanged.
+
+        Returns the row with device scalars left as jax arrays when the
+        window has not flushed yet (callers can still `float()` them —
+        doing so simply forces the sync the deferral avoids).
+        """
+        dev = {k: v for k, v in metrics.items() if hasattr(v, "dtype")}
+        host = {k: v for k, v in metrics.items() if not hasattr(v, "dtype")}
+        host["step"] = step_idx
+        if host_stats:
+            host.update(host_stats)
+        self._pending_metrics.append((dev, host))
+        if len(self._pending_metrics) >= max(1, self.cfg.metrics_flush_every):
+            return self._flush_metrics()
+        return {**host, **dev}
+
+    def _flush_metrics(self) -> dict:
+        """Drain the deferred-metrics queue to metrics.jsonl; returns the
+        last row (all-host values)."""
+        if not self._pending_metrics:
+            return {}
+        rows, self._pending_metrics = self._pending_metrics, []
+        fetched = jax.device_get([dev for dev, _ in rows])
+        out = {}
+        for (_, host), dev in zip(rows, fetched):
+            out = {k: float(np.asarray(v)) for k, v in dev.items()}
+            out.update(host)
+            self._metrics_file.write(json.dumps(out) + "\n")
         self._metrics_file.flush()
         return out
 
@@ -1006,6 +1040,7 @@ class AdaPromptTrainer:
         return path
 
     def save_checkpoint(self, step: int):
+        self._flush_metrics()
         path = os.path.join(self.cfg.out_dir, f"embeddings_gs-{step}.npz")
         trees = {"subj_basis": self.state.params["subj_basis"]}
         if "bg_basis" in self.state.params:
@@ -1049,6 +1084,7 @@ class AdaPromptTrainer:
     def save_full_state(self, step: int) -> str:
         """Snapshot params + optimizer state + step for exact resume
         (incl. Prodigy's D estimate and EMAs)."""
+        self._flush_metrics()
         import numpy as np
         flat = {}
         for name, tree in self.state.params.items():

@@ -50,7 +50,21 @@ _SLOW_FILES = {
 }
 
 
+# mid tier: the oracle-parity backbone (UNet/trainer/steps) — heavy enough
+# to be excluded from the fast tier, core enough that regressions there
+# should surface during development, not at round boundaries.
+# `pytest -m 'not slow or mid'` = mid tier (~6 min); fast tier ~3 min;
+# full suite ~30 min. The mid tier is the pre-commit gate (docs/README).
+_MID_FILES = {
+    "test_unet.py", "test_trainer.py", "test_train_steps.py",
+    "test_attention.py",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if os.path.basename(str(item.fspath)) in _SLOW_FILES:
+        base = os.path.basename(str(item.fspath))
+        if base in _SLOW_FILES:
             item.add_marker(pytest.mark.slow)
+        if base in _MID_FILES:
+            item.add_marker(pytest.mark.mid)

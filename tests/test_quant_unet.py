@@ -44,8 +44,12 @@ def test_int8_forward_close_to_float():
     eps_q = unet_mod.forward(params, x, t, ctx, cfg=qcfg)
     assert eps_q.shape == eps.shape
     err = np.linalg.norm(np.asarray(eps_q - eps)) / np.linalg.norm(np.asarray(eps))
-    # per-layer int8 error ~1%; through the residual UNet stays small
-    assert 0 < err < 0.05, err
+    # per-layer int8 error ~1%; through the residual UNet stays small.
+    # After the round-3 re-composition, quant="int8" only switches the
+    # Pallas-fused FF/cross kernels (projections stay bf16 — measured
+    # net-negative as XLA int8, docs/PERF.md), so on the CPU backend
+    # (pallas off) the two forwards are bit-identical: err may be 0.
+    assert err < 0.05, err
 
 
 def test_quant_default_off():

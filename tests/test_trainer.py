@@ -176,3 +176,38 @@ def test_half_bs_on_multistep_distill(subject_tree, tmp_path, monkeypatch):
     monkeypatch.setattr(tr, "_sample_num_denoising_steps", lambda: 1)
     m = tr.train_step(2)
     assert m["distill_bs"] == 4
+
+
+def test_deferred_metrics_flush(tmp_path):
+    """Strided metrics fetch: rows are queued and written in one
+    device_get batch every cfg.metrics_flush_every steps, with identical
+    metrics.jsonl content (one line per step, host fields preserved)."""
+    import json
+    import os
+
+    tr = object.__new__(trainer_mod.AdaPromptTrainer)
+    tr.cfg = trainer_mod.TrainerConfig(out_dir=str(tmp_path),
+                                       metrics_flush_every=3)
+    path = os.path.join(str(tmp_path), "metrics.jsonl")
+    tr._metrics_file = open(path, "a")
+    tr._pending_metrics = []
+
+    for i in range(5):
+        m = tr._emit_metrics(i, {"loss": jnp.float32(i * 0.5),
+                                 "iter_type": "recon"},
+                             {"step_time_s": 0.1})
+        assert m["iter_type"] == "recon"
+        assert m["step"] == i
+    # steps 0-2 flushed (window of 3), 3-4 still pending
+    tr._metrics_file.flush()
+    lines = [json.loads(l) for l in open(path)]
+    assert [l["step"] for l in lines] == [0, 1, 2]
+    assert len(tr._pending_metrics) == 2
+
+    last = tr._flush_metrics()
+    lines = [json.loads(l) for l in open(path)]
+    assert [l["step"] for l in lines] == [0, 1, 2, 3, 4]
+    assert lines[3]["loss"] == pytest.approx(1.5)
+    assert all(l["step_time_s"] == 0.1 for l in lines)
+    assert last["step"] == 4 and last["loss"] == pytest.approx(2.0)
+    tr._metrics_file.close()

@@ -68,6 +68,16 @@ class UNetConfig:
     # matmuls (ops/quant.py; v5e int8 rate is 2x bf16). Forward-only —
     # never enable for training (round() has no gradient).
     quant: str | None = None
+    # opt-in token merging (ToMe-SD, ops/tome.py) for transformer blocks
+    # with >= tome_min_tokens tokens: merge `tome_ratio` of the tokens
+    # before the sub-layers, unmerge before the residual adds. Sampler-only
+    # approximation (disabled automatically on capture/conv-attn/img-mask
+    # paths); see docs/PERF.md for the quality/throughput trade.
+    tome_ratio: float = 0.0
+    tome_min_tokens: int = 4096
+    tome_attn: bool = True     # merge for self-attention
+    tome_cross: bool = False   # merge queries for cross-attention
+    tome_mlp: bool = False     # merge for the GEGLU feed-forward
 
     @property
     def time_embed_dim(self):
@@ -77,10 +87,12 @@ class UNetConfig:
 import os as _os0
 
 # perf knobs: ADAPROMPT_FUSED_CONV=1 enables the Pallas GN-SiLU-conv halo
-# kernel; ADAPROMPT_QUANT=int8 enables the w8a8 sampler path (docs/PERF.md)
+# kernel; ADAPROMPT_QUANT=int8 enables the w8a8 sampler path;
+# ADAPROMPT_TOME=<ratio> enables token merging (docs/PERF.md)
 SD15_UNET_CONFIG = UNetConfig(
     fused_conv=bool(_os0.environ.get("ADAPROMPT_FUSED_CONV")),
-    quant=_os0.environ.get("ADAPROMPT_QUANT") or None)
+    quant=_os0.environ.get("ADAPROMPT_QUANT") or None,
+    tome_ratio=float(_os0.environ.get("ADAPROMPT_TOME", "0") or 0))
 
 
 def timestep_embedding(timesteps: jax.Array, dim: int, max_period: int = 10000) -> jax.Array:
@@ -566,7 +578,8 @@ def _geglu_ff(p: dict, x: jax.Array, quant: str | None = None) -> jax.Array:
 def _spatial_transformer(p: dict, x: jax.Array, ctx_v, ctx_k, num_heads: int,
                          img_mask=None, capture: bool = False, kv=None,
                          conv_attn: dict | None = None,
-                         quant: str | None = None):
+                         quant: str | None = None,
+                         tome_cfg: tuple | None = None):
     b, h, w, c = x.shape
     x_in = x
     y = group_norm(x, p["norm"]["scale"], p["norm"]["bias"], eps=1e-6)
@@ -580,6 +593,23 @@ def _spatial_transformer(p: dict, x: jax.Array, ctx_v, ctx_k, num_heads: int,
         from adaprompt_tpu.models.vae import _resize_mask_nearest
         self_mask = _resize_mask_nearest(img_mask, (h, w)).reshape(b, h * w)
 
+    # ToMe (ops/tome.py): sampler-only token merging — never on capture /
+    # conv-attn / masked (training) paths, whose semantics need all tokens
+    ident = lambda t: t
+    m_a = u_a = m_c = u_c = m_f = u_f = ident
+    if tome_cfg is not None and not capture and conv_attn is None \
+            and self_mask is None and h * w >= tome_cfg[1] > 0 \
+            and tome_cfg[0] > 0:
+        from adaprompt_tpu.ops.tome import build_merge
+        mm, uu, n_kept = build_merge(y, h, w, tome_cfg[0])
+        if n_kept < h * w:
+            if tome_cfg[2]:
+                m_a, u_a = mm, uu
+            if tome_cfg[3]:
+                m_c, u_c = mm, uu
+            if tome_cfg[4]:
+                m_f, u_f = mm, uu
+
     if "self" not in _ABLATE:
         # NOTE: a fused qkv+attn+out self-attention kernel exists
         # (ops/attention.fused_self_attention) but measured net-NEGATIVE
@@ -587,20 +617,22 @@ def _spatial_transformer(p: dict, x: jax.Array, ctx_v, ctx_k, num_heads: int,
         # VMEM-resident K/V outweighs the transpose traffic it saves.
         # The separate flash kernel stays the self-attention path.
         a1, _ = _cross_attention(bp["attn1"],
-                                 layer_norm(y, bp["norm1"]["scale"], bp["norm1"]["bias"]),
+                                 m_a(layer_norm(y, bp["norm1"]["scale"], bp["norm1"]["bias"])),
                                  None, None, num_heads, self_mask=self_mask,
                                  quant=quant)
-        y = y + a1
+        y = y + u_a(a1)
     if "cross" not in _ABLATE:
-        a2, cached = _cross_attention(bp["attn2"], layer_norm(y, bp["norm2"]["scale"], bp["norm2"]["bias"]),
+        a2, cached = _cross_attention(bp["attn2"],
+                                      m_c(layer_norm(y, bp["norm2"]["scale"], bp["norm2"]["bias"])),
                                       ctx_v, ctx_k, num_heads, capture=capture,
                                       kv=kv, conv_attn=conv_attn,
                                       infeat_size=(h, w), quant=quant)
-        y = y + a2
+        y = y + u_c(a2)
     else:
         cached = None
-    y = y + _geglu_ff(bp["ff"], layer_norm(y, bp["norm3"]["scale"], bp["norm3"]["bias"]),
-                      quant=quant)
+    y = y + u_f(_geglu_ff(bp["ff"],
+                          m_f(layer_norm(y, bp["norm3"]["scale"], bp["norm3"]["bias"])),
+                          quant=quant))
 
     y = y.reshape(b, h, w, c)
     y = conv1x1(y, p["proj_out"]["kernel"][0, 0], p["proj_out"]["bias"])
@@ -613,6 +645,8 @@ def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array
             capture_ca: bool = False,
             cross_kv: dict | None = None,
             conv_attn: dict | None = None,
+            cache_depth: int = 0,
+            cache: jax.Array | None = None,
             cfg: UNetConfig = SD15_UNET_CONFIG):
     """Predict epsilon.
 
@@ -632,10 +666,20 @@ def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array
         openaimodel.py:723-824 + attention.py:208-216):
         dict(subj_pos [BS, M] traced token positions, kernel_size int or
         {layer_idx: int} layerwise, mix_weight float=1).
+      cache_depth / cache: DeepCache-style deep-feature reuse (Ma et al.
+        2023, arXiv:2312.00858; sampler-only, no reference counterpart).
+        With cache_depth=j > 0 and cache=None this is a FULL pass that
+        additionally returns the deep feature entering output block
+        (n_out - j) — the hidden state the shallow pass resumes from. With
+        `cache` given, only input blocks [0:j] and output blocks
+        [n_out-j:] run; the middle of the UNet is replaced by `cache`.
 
-    Returns eps [B, H, W, 4] or (eps, ca_activations dict keyed
-    'q'/'attn'/'attnscore'/'outfeat' -> {layer_idx: array}).
+    Returns eps [B, H, W, 4]; with capture_ca, (eps, ca_activations dict
+    keyed 'q'/'attn'/'attnscore'/'outfeat' -> {layer_idx: array}); with
+    cache_depth > 0, (eps, deep_cache).
     """
+    if cache_depth > 0:
+        assert not capture_ca, "deep-cache is a sampler-only fast path"
     if context.ndim == 3:
         context = context[None]
     if context_k is None:
@@ -652,6 +696,13 @@ def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array
     inp_plan, mid_plan, out_plan = _build_plan(cfg)
     captures = {}
     l2ca = _layer_ca_map(inp_plan, out_plan)
+    # ToMe is a sampler-only approximation: any training-semantics path
+    # (activation capture, img-mask training, conv-attn) disables it for the
+    # WHOLE forward, not just the affected blocks
+    tome_cfg = ((cfg.tome_ratio, cfg.tome_min_tokens, cfg.tome_attn,
+                 cfg.tome_cross, cfg.tome_mlp)
+                if (cfg.tome_ratio > 0 and not capture_ca
+                    and img_mask is None and conv_attn is None) else None)
 
     def ctx_for(layer_idx):
         ca = l2ca.get(layer_idx)
@@ -693,7 +744,8 @@ def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array
                                                  cfg.num_heads, img_mask=mask,
                                                  capture=cap, kv=kv,
                                                  conv_attn=cattn,
-                                                 quant=cfg.quant)
+                                                 quant=cfg.quant,
+                                                 tome_cfg=tome_cfg)
             if "upsample" in bp:
                 h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
                 h = conv2d(h, bp["upsample"]["kernel"], bp["upsample"]["bias"])
@@ -721,39 +773,49 @@ def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array
             captures[layer_idx] = cached
         return h
 
+    n_inp, n_out = len(inp_plan), len(out_plan)
+    shallow = cache is not None and cache_depth > 0
+    deep_cache = None
+
     hs = []
     h = x
-    layer_idx = 0
-    for bp, entry in zip(params["input_blocks"], inp_plan):
-        h = run_block(bp, entry, h, layer_idx)
+    for i, (bp, entry) in enumerate(zip(params["input_blocks"], inp_plan)):
+        if shallow and i >= cache_depth:
+            break
+        h = run_block(bp, entry, h, i)
         hs.append(h)
-        layer_idx += 1
 
-    def mid_fn(mb, h, emb, cv, ck, mask, kv, cattn):
-        h = _resblock(mb["res1"], h, emb, cfg.fused_conv)
-        h, cached = _spatial_transformer(mb["attn"], h, cv, ck, cfg.num_heads,
-                                         img_mask=mask, capture=mid_cap, kv=kv,
-                                         conv_attn=cattn, quant=cfg.quant)
-        h = _resblock(mb["res2"], h, emb, cfg.fused_conv)
-        if mid_cap and cached is not None:
-            cached["outfeat"] = h
-        return h, cached
+    if shallow:
+        h = cache.astype(x.dtype)
+    else:
+        def mid_fn(mb, h, emb, cv, ck, mask, kv, cattn):
+            h = _resblock(mb["res1"], h, emb, cfg.fused_conv)
+            h, cached = _spatial_transformer(mb["attn"], h, cv, ck, cfg.num_heads,
+                                             img_mask=mask, capture=mid_cap, kv=kv,
+                                             conv_attn=cattn, quant=cfg.quant,
+                                             tome_cfg=tome_cfg)
+            h = _resblock(mb["res2"], h, emb, cfg.fused_conv)
+            if mid_cap and cached is not None:
+                cached["outfeat"] = h
+            return h, cached
 
-    mid_cap = capture_ca and layer_idx in DISTILL_LAYER_INDICES
-    cv, ck = ctx_for(layer_idx)
-    kv = cross_kv.get(layer_idx) if cross_kv is not None else None
-    if cfg.use_checkpoint:
-        mid_fn = jax.checkpoint(mid_fn)
-    h, cached = mid_fn(params["middle_block"], h, emb, cv, ck, img_mask, kv,
-                       conv_attn_for(layer_idx))
-    if cached is not None:
-        captures[layer_idx] = cached
-    layer_idx += 1
+        mid_cap = capture_ca and n_inp in DISTILL_LAYER_INDICES
+        cv, ck = ctx_for(n_inp)
+        kv = cross_kv.get(n_inp) if cross_kv is not None else None
+        if cfg.use_checkpoint:
+            mid_fn = jax.checkpoint(mid_fn)
+        h, cached = mid_fn(params["middle_block"], h, emb, cv, ck, img_mask, kv,
+                           conv_attn_for(n_inp))
+        if cached is not None:
+            captures[n_inp] = cached
 
-    for bp, entry in zip(params["output_blocks"], out_plan):
+    first_out = n_out - cache_depth if shallow else 0
+    for i in range(first_out, n_out):
+        bp, entry = params["output_blocks"][i], out_plan[i]
+        if cache_depth > 0 and not shallow and i == n_out - cache_depth:
+            deep_cache = h
         h = jnp.concatenate([h, hs.pop()], axis=-1)
-        h = run_block(bp, entry, h, layer_idx)
-        layer_idx += 1
+        h = run_block(bp, entry, h, n_inp + 1 + i)
 
     h = group_norm(h, params["out"]["norm"]["scale"], params["out"]["norm"]["bias"],
                    eps=1e-5, activation="silu")
@@ -763,4 +825,6 @@ def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array
         by_key = {key: {li: captures[li][key] for li in captures}
                   for key in ("outfeat", "attn", "attnscore", "q")}
         return eps, by_key
+    if cache_depth > 0:
+        return eps, (cache if shallow else deep_cache)
     return eps

@@ -40,6 +40,27 @@ DEFAULT_NEGATIVE_PROMPT = (
 )
 
 
+@dataclasses.dataclass(frozen=True)
+class FastConfig:
+    """Opt-in serving accelerations (docs/PERF.md 'fast preset').
+
+    All three are published approximations of the exact sampler — quality
+    must be validated per checkpoint before production use:
+      * tome_ratio: ToMe token merging in the 64x64 transformer blocks
+        (ops/tome.py, arXiv:2303.17604); 0 disables.
+      * cache_interval/cache_depth: DeepCache deep-feature reuse
+        (models/unet.py cache_depth, arXiv:2312.00858); interval 1 disables.
+      * cfg_tail_frac: final fraction of steps run condition-only with the
+        guidance scale pinned to exactly 1 (guidance-interval family,
+        arXiv:2404.07724); 0 disables.
+    """
+    tome_ratio: float = 0.5
+    tome_mlp: bool = True
+    cache_interval: int = 3
+    cache_depth: int = 3
+    cfg_tail_frac: float = 0.3
+
+
 @dataclasses.dataclass
 class SDParams:
     unet: dict
@@ -130,12 +151,16 @@ class StableDiffusionPipeline:
                  seed: int = 0, skip_weights=(1.0, 1.0),
                  context: jax.Array | None = None,
                  context_uncond: jax.Array | None = None,
-                 return_latents: bool = False) -> np.ndarray:
+                 return_latents: bool = False,
+                 fast: FastConfig | None = None) -> np.ndarray:
         """Text to images.
 
         Either `prompts` (list of strings) or precomputed `context`
         ([L, B, 77, 768] layerwise or [B, 77, 768]) may be given. Returns
         uint8 images [B, H, W, 3].
+
+        `fast` enables the opt-in approximate serving accelerations
+        (see FastConfig); None (the default) is the exact sampler.
         """
         if context is None:
             cond = self.encode_prompt(prompts, skip_weights)[None]  # [1,B,77,768]
@@ -152,10 +177,17 @@ class StableDiffusionPipeline:
 
         key = jax.random.PRNGKey(seed)
         x_T = jax.random.normal(key, (b, height // 8, width // 8, 4), jnp.float32)
-        out = _generate_jit(self.params.unet, self.params.vae, cond, uncond, x_T,
-                            num_steps, _as_pair(guidance_scale), return_latents,
-                            self.unet_cfg, self.vae_cfg, self.sched,
-                            self.compute_dtype)
+        if fast is not None:
+            out = _generate_fast_jit(self.params.unet, self.params.vae, cond,
+                                     uncond, x_T, num_steps,
+                                     _as_pair(guidance_scale), return_latents,
+                                     fast, self.unet_cfg, self.vae_cfg,
+                                     self.sched, self.compute_dtype)
+        else:
+            out = _generate_jit(self.params.unet, self.params.vae, cond, uncond,
+                                x_T, num_steps, _as_pair(guidance_scale),
+                                return_latents, self.unet_cfg, self.vae_cfg,
+                                self.sched, self.compute_dtype)
         return np.asarray(out)
 
     def decode_latents(self, z: jax.Array) -> np.ndarray:
@@ -209,6 +241,51 @@ def _generate_jit(unet_params, vae_params, cond, uncond, x_T,
         img = jnp.repeat(jnp.repeat(z[..., :3], 8, axis=1), 8, axis=2)
         img = (img.astype(jnp.float32)) * 127.5
         return jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+    img = vae_mod.decode(vae_params, (z / 0.18215).astype(dt), cfg=vae_cfg)
+    img = (img.astype(jnp.float32) + 1.0) * 127.5
+    return jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+def _generate_fast_jit(unet_params, vae_params, cond, uncond, x_T,
+                       num_steps, guidance, return_latents, fast,
+                       unet_cfg, vae_cfg, sched, dt):
+    """The FastConfig serving path: ToMe + DeepCache + CFG-tail truncation
+    (see FastConfig / ddim.ddim_sample_fast). Approximate — opt-in only."""
+    ucfg = dataclasses.replace(unet_cfg, tome_ratio=fast.tome_ratio,
+                               tome_mlp=fast.tome_mlp)
+    ctx = jnp.concatenate([cond, uncond], axis=1).astype(dt)  # [L, 2B, 77, D]
+    cross_kv = unet_mod.precompute_cross_kv(unet_params, ctx, cfg=ucfg)
+    b = cond.shape[1]
+    depth = fast.cache_depth if fast.cache_interval > 1 else 1
+
+    def _ctx_kv(xb):
+        # cond-only steps run the plain batch: slice the cond halves
+        if xb == ctx.shape[1]:
+            return ctx, cross_kv
+        return (ctx[:, :xb],
+                {li: (k[:xb], v[:xb]) for li, (k, v) in cross_kv.items()})
+
+    def model_full(x, t):
+        c, kv = _ctx_kv(x.shape[0])
+        eps, cache = unet_mod.forward(unet_params, x.astype(dt), t, c,
+                                      cross_kv=kv, cache_depth=depth,
+                                      cfg=ucfg)
+        return eps.astype(jnp.float32), cache
+
+    def model_shallow(x, t, cache):
+        c, kv = _ctx_kv(x.shape[0])
+        eps, _ = unet_mod.forward(unet_params, x.astype(dt), t, c,
+                                  cross_kv=kv, cache_depth=depth, cache=cache,
+                                  cfg=ucfg)
+        return eps.astype(jnp.float32)
+
+    z = ddim.ddim_sample_fast(model_full, model_shallow, x_T,
+                              num_steps=num_steps, guidance_scale=guidance,
+                              sched=sched, cache_interval=fast.cache_interval,
+                              cfg_tail_frac=fast.cfg_tail_frac)
+    if return_latents:
+        return z
     img = vae_mod.decode(vae_params, (z / 0.18215).astype(dt), cfg=vae_cfg)
     img = (img.astype(jnp.float32) + 1.0) * 127.5
     return jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)

@@ -165,7 +165,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref, *,
 
 def _dq_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, dl_ref, dq_ref, *,
                scale, block_k, seq_k, has_bias):
-    q = q_ref[:]
+    # Same VPU-economy tricks as _fwd_kernel: the sm scale is folded into
+    # the small q tile (s comes out pre-scaled), NT dot_general avoids
+    # materializing K^T/V^T in VMEM, and the remaining scalar `* scale`
+    # moves off the wide [block_q, block_k] ds tensor onto the narrow
+    # [block_q, D] accumulator (scalars commute through the matmul).
+    q = (q_ref[:].astype(jnp.float32) * scale).astype(q_ref.dtype)
     do = do_ref[:]
     lse = lse_ref[:]          # [block_q, 1]
     delta = dl_ref[:]         # [block_q, 1]
@@ -174,18 +179,20 @@ def _dq_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, dl_ref, dq_ref, *,
     def body(i, acc):
         k_blk = k_ref[pl.ds(i * block_k, block_k), :]
         v_blk = v_ref[pl.ds(i * block_k, block_k), :]
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
         if has_bias:
             s = s + b_ref[0, pl.ds(i * block_k, block_k)][None, :]
         p = jnp.exp(s - lse)
-        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
         return acc + jnp.dot(ds.astype(k_blk.dtype), k_blk,
                              preferred_element_type=jnp.float32)
 
     acc0 = jnp.zeros((block_q, d), jnp.float32)
     acc = jax.lax.fori_loop(0, seq_k // block_k, body, acc0)
-    dq_ref[:] = acc.astype(dq_ref.dtype)
+    dq_ref[:] = (acc * scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, dl_ref,
@@ -197,12 +204,17 @@ def _dkv_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, dl_ref,
     bias = b_ref[0, :][None, :] if has_bias else None
 
     def body(i, carry):
+        # scale folded into the small q tile: s = q̂ k^T is pre-scaled, and
+        # dk = ds^T q̂ picks up its single factor of scale from q̂ as well —
+        # the wide [block_q, block_k] `* scale` multiply disappears
         acc_dk, acc_dv = carry
         q_i = q_ref[pl.ds(i * block_q, block_q), :]
+        q_i = (q_i.astype(jnp.float32) * scale).astype(q_i.dtype)
         do_i = do_ref[pl.ds(i * block_q, block_q), :]
         lse_i = lse_ref[pl.ds(i * block_q, block_q), :]   # [bq, 1]
         dl_i = dl_ref[pl.ds(i * block_q, block_q), :]
-        s = jnp.dot(q_i, k_blk.T, preferred_element_type=jnp.float32) * scale
+        s = jax.lax.dot_general(q_i, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
         if bias is not None:
             s = s + bias
         p = jnp.exp(s - lse_i)
@@ -210,9 +222,11 @@ def _dkv_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, dl_ref,
         acc_dv = acc_dv + jax.lax.dot_general(
             p.astype(do_i.dtype), do_i, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dp = jnp.dot(do_i, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - dl_i) * scale
-        # dk += ds^T q
+        dp = jax.lax.dot_general(do_i, v_blk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - dl_i)
+        # dk += ds^T q̂  (q̂ already carries one factor of scale; the other
+        # factor — from ds — is applied to the accumulator at the end)
         acc_dk = acc_dk + jax.lax.dot_general(
             ds.astype(q_i.dtype), q_i, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)

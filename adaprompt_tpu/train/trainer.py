@@ -461,7 +461,8 @@ class AdaPromptTrainer:
         # rebuild jitted fns against the sharded frozen params
         self._recon_steps = {}
         self._distill_steps = {}
-        for attr in ("_compos_phase", "_filter_phase", "_filter_ctx_fn"):
+        for attr in ("_compos_phase", "_filter_phase", "_filter_ctx_fn",
+                     "_filter_ctx_jit"):
             if hasattr(self, attr):
                 delattr(self, attr)
         return self.mesh
@@ -658,6 +659,12 @@ class AdaPromptTrainer:
                     "subj_pos": batch["subj_pos_host"], "bg_pos": None}
 
         self._filter_ctx_fn = context_fn  # also usable eagerly for filtering
+        # jitted ctx4-only variant for the filter phase: the eager call
+        # dispatched the whole splice+encode chain op-by-op through the
+        # device tunnel every filter iteration (round-2 verdict)
+        self._filter_ctx_jit = jax.jit(
+            lambda tr, mp, ab: context_fn(
+                tr, mp, dict(ab, subj_pos_host=None))["ctx4"])
         self._compos_phase = cs.make_compos_train_phase(
             self.optimizer, models, context_fn, compute_dtype=self.dtype)
 
@@ -720,9 +727,11 @@ class AdaPromptTrainer:
                                      vae_cfg=self.vae_cfg)
             self._filter_phase = cs.make_filter_phase(models, cfg_scale=5.0,
                                                       compute_dtype=self.dtype)
-        cinfo = self._filter_ctx_fn(self.state.params, self._mp_compos(),
-                                    cbatch)
-        ctx4 = cinfo["ctx4"]
+        abatch = {k: cbatch[k] for k in
+                  ("faceid", "ids4", "subj_rows", "subj_pos4", "cls_pos",
+                   "skip_weights")}
+        ctx4 = self._filter_ctx_jit(self.state.params, self._mp_compos(),
+                                    abatch)
         n = x_start_cand.shape[0]
         # candidate batch layout (subj_comp x N, cls_comp x N)
         # (calc_clip_losses, ddpm.py:3604-3609)

@@ -11,8 +11,11 @@ Usage: python tools/fastpath_bench.py [--batch 8] [--iters 3] [--steps 50]
 """
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
 import numpy as np

@@ -11,10 +11,11 @@ Forms probed per shape:
   * shift9:  pad once, 9 slice+reshape matmuls accumulated in fp32
   * im2col:  materialized [M, 9C] patches -> ONE [M,9C]@[9C,F] matmul
 
-Timing: scan-chained inside one jit (output feeds the next input's first
-channels) so per-call dispatch latency on the axon tunnel is amortized;
-results are consumed by returning the final tensor (PERF.md: sum() lets
-XLA shortcut).
+Timing: scan-chained inside one jit (output feeds the next input) so
+per-call dispatch latency on the axon tunnel is amortized; consumed by a
+quadratic reduction computed ON DEVICE — fetching the full output tensor
+times the ~80 ms tunnel transfer, not the kernel, and a plain sum() lets
+XLA algebraically shortcut matmuls (PERF.md measurement rules).
 
 Usage: python tools/conv_probe.py [--iters 10]
 """
@@ -94,11 +95,13 @@ def main():
                     # structural dep: feed y back as the next input
                     return y, ()
                 y, _ = jax.lax.scan(body, x, None, length=n)
-                return y
+                # scalar quadratic consumption: device-side reduction (a
+                # full-tensor fetch times the tunnel, not the kernel)
+                return jnp.sum(y.astype(jnp.float32) ** 2)
 
-            y = np.asarray(chained(x, w))  # compile + warmup
+            float(chained(x, w))  # compile + warmup
             t0 = time.perf_counter()
-            y = np.asarray(chained(x, w))
+            float(chained(x, w))
             dt = (time.perf_counter() - t0) / n
             tfs = gflop / dt / 1e3
             if name == "conv":

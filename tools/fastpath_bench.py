@@ -52,9 +52,18 @@ def main():
     ap.add_argument("--presets", default=",".join(PRESETS))
     args = ap.parse_args()
 
+    import jax
     from adaprompt_tpu.pipeline import StableDiffusionPipeline, FastConfig
 
     pipe = StableDiffusionPipeline.random_init(0, param_dtype=jnp.bfloat16)
+    # random_init zero-inits the UNet out conv (reference zero_module), so
+    # eps == 0 and every sampler produces the SAME trajectory — drift would
+    # be vacuously zero. Re-randomize it so the UNet is a nontrivial
+    # function and the drift signal is structural, not degenerate.
+    oc = pipe.params.unet["out"]["conv"]
+    oc["kernel"] = 0.05 * jax.random.normal(jax.random.PRNGKey(7),
+                                            oc["kernel"].shape,
+                                            oc["kernel"].dtype)
     prompts = ["a portrait photo of a person, detailed"] * args.batch
 
     ref_latents = None
@@ -65,8 +74,13 @@ def main():
         t0 = time.perf_counter()
         z = pipe.generate(prompts, num_steps=args.steps, height=512,
                           width=512, seed=0, fast=fast, return_latents=True)
-        compile_s = time.perf_counter() - t0
         z = np.asarray(z, np.float32)
+        # warm up the images-variant executable too (return_latents is a
+        # static arg -> separate compile; the first version of this tool
+        # timed that compile inside the "run" loop and measured nothing)
+        np.asarray(pipe.generate(prompts, num_steps=args.steps, height=512,
+                                 width=512, seed=0, fast=fast))
+        compile_s = time.perf_counter() - t0
         if name == "exact":
             ref_latents = z
         drift = (np.linalg.norm(z - ref_latents)
@@ -82,7 +96,7 @@ def main():
         ips = args.batch * args.iters / dt
         rows.append((name, ips, drift, compile_s))
         log(f"{name:12s} {ips:6.3f} img/s  drift={drift:.4f} "
-            f"(compile {compile_s:.0f}s, run {dt:.1f}s)")
+            f"(compile+warmup {compile_s:.0f}s, run {dt:.1f}s)")
 
     log("")
     log(f"{'preset':12s} {'img/s':>7s} {'vs exact':>9s} {'latent drift':>13s}")

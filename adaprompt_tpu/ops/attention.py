@@ -47,6 +47,27 @@ NEG_BIG = -1e9      # masked-key bias; finite so exp arithmetic stays NaN-free
 # still honored). Read at import, like models.unet._ABLATE.
 _NO_FLASH = bool(os.environ.get("ADAPROMPT_NO_FLASH"))
 
+_LOG2E = 1.4426950408889634
+# exp2 folding (A/B knob, measured NEUTRAL-to-NEGATIVE on v5e — see
+# docs/PERF.md round 3): fold log2(e) into the pre-scaled q tile (and
+# bias/lse), so the softmax exponential lowers to a raw exp2 instead of
+# exp == exp2(x * log2e). EXACT: p = 2^((s-m)*log2e) == e^(s-m) up to fp32
+# rounding; lse converts back with one [block_q, 1] multiply. Measured:
+# fwd -0.1% (noise), fwd+bwd +4% SLOWER — Mosaic evidently already folds
+# exp's internal multiply, and the extra lse/bias prescale passes lose.
+# Kept env-gated for other toolchain versions; default off.
+_EXP2 = bool(os.environ.get("ADAPROMPT_FLASH_EXP2"))
+# Max-pass elimination (A/B knob, measured NET-NEGATIVE on v5e): replace
+# the per-row score max with a Cauchy-Schwarz cap |q̂_i| * max_k |k_k| (+1
+# margin) computed outside the kernel. The in-VMEM max reduction it removes
+# turns out to be cheap relative to the exp pass, while the XLA-side
+# prescale/norm passes over Q/K add ~1.2 ms at the bench shape: 8.2 -> 9.5
+# ms (tools/flash_exp2_probe.py). Numerics stay correct (exp(s-cap) <= e^-1
+# never overflows; an all-underflow row — true max > ~87 below the cap —
+# yields guarded zeros, not NaN; the emitted lse stays exact so the
+# backward is unaffected). Kept for the record; default off.
+_NOMAX = bool(os.environ.get("ADAPROMPT_FLASH_NOMAX"))
+
 
 def pallas_ok() -> bool:
     """True when compiled Pallas kernels can be used. False on the CPU
@@ -119,18 +140,22 @@ def _pick_block(n, target):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref, *,
-                scale, block_k, seq_k, has_bias):
+                scale, block_k, seq_k, has_bias, exp2):
     # Per program: q_ref [block_q, D]; k_ref [seq_k, D]; v_ref [seq_k, Dv+1]
     # (V augmented with a ones column OUTSIDE the kernel); b_ref [1, seq_k].
     #
     # VPU-bound shape: at D=40 both matmuls cap at 40/128 of the MXU rate,
     # so the fp32 softmax passes over the [block_q, seq_k] scores dominate.
-    # Two passes are removed here: the sm scale is folded into the small q
-    # tile (instead of a full-width multiply of the scores), and the row sum
-    # l rides the PV matmul as V's ones column — the D=40..41 output pads to
-    # 128 lanes anyway, so the MXU computes l for free and the explicit
-    # jnp.sum reduction disappears. Measured 1.36x on the kernel (PERF.md).
-    q = (q_ref[:].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    # Passes removed: the sm scale is folded into the small q tile (instead
+    # of a full-width multiply of the scores); the row sum l rides the PV
+    # matmul as V's ones column — the D=40..41 output pads to 128 lanes
+    # anyway, so the MXU computes l for free and the explicit jnp.sum
+    # reduction disappears (measured 1.36x, PERF.md); and with exp2, log2(e)
+    # is folded into the same q tile so the exponential is a raw exp2
+    # (scores live in the log2 domain; lse converts back at the end).
+    eff = scale * _LOG2E if exp2 else scale
+    expf = jnp.exp2 if exp2 else jnp.exp
+    q = (q_ref[:].astype(jnp.float32) * eff).astype(q_ref.dtype)
     block_q, d = q.shape
     dva = v_ref.shape[-1]                # Dv + 1 (ones column)
 
@@ -144,8 +169,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref, *,
             s = s + b_ref[0, pl.ds(i * block_k, block_k)][None, :]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
+        p = expf(s - m_new)
+        alpha = expf(m_prev - m_new)
         acc = acc * alpha + jnp.dot(p.astype(v_blk.dtype), v_blk,
                                     preferred_element_type=jnp.float32)
         return m_new, acc
@@ -160,19 +185,60 @@ def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref, *,
         m, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, acc0))
     l = acc[:, dva - 1:dva]              # sum_k p (the ones column)
     o_ref[:] = (acc[:, :dva - 1] / l).astype(o_ref.dtype)
-    lse_ref[:] = m + jnp.log(l)          # [block_q, 1]
+    m_nat = m * (1.0 / _LOG2E) if exp2 else m    # [block_q, 1], cheap
+    lse_ref[:] = m_nat + jnp.log(l)
+
+
+def _fwd_kernel_nomax(q_ref, k_ref, v_ref, b_ref, cap_ref, o_ref, lse_ref, *,
+                      scale, block_k, seq_k, has_bias, exp2):
+    # No-max variant: cap_ref [block_q, 1] is a precomputed upper bound on
+    # every score in the row (Cauchy-Schwarz + margin; see _NOMAX). The only
+    # full-width VPU work left is ONE exp pass over the scores.
+    del scale
+    expf = jnp.exp2 if exp2 else jnp.exp
+    q = q_ref[:]                          # pre-scaled OUTSIDE (cap needs q̂)
+    block_q, d = q.shape
+    dva = v_ref.shape[-1]
+    cap = cap_ref[:]
+
+    def body(i, acc):
+        k_blk = k_ref[pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[pl.ds(i * block_k, block_k), :]
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if has_bias:
+            s = s + b_ref[0, pl.ds(i * block_k, block_k)][None, :]
+        p = expf(s - cap)
+        return acc + jnp.dot(p.astype(v_blk.dtype), v_blk,
+                             preferred_element_type=jnp.float32)
+
+    acc0 = jnp.zeros((block_q, dva), jnp.float32)
+    num_k_blocks = seq_k // block_k
+    if num_k_blocks == 1:
+        acc = body(0, acc0)
+    else:
+        acc = jax.lax.fori_loop(0, num_k_blocks, body, acc0)
+    # guard: a row whose true max sits below the exp underflow window sums
+    # to 0 — emit zero attention for it instead of NaN
+    l = jnp.maximum(acc[:, dva - 1:dva], 1e-30)
+    o_ref[:] = (acc[:, :dva - 1] / l).astype(o_ref.dtype)
+    cap_nat = cap * (1.0 / _LOG2E) if exp2 else cap
+    lse_ref[:] = cap_nat + jnp.log(l)     # still the exact lse
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, dl_ref, dq_ref, *,
-               scale, block_k, seq_k, has_bias):
-    # Same VPU-economy tricks as _fwd_kernel: the sm scale is folded into
-    # the small q tile (s comes out pre-scaled), NT dot_general avoids
-    # materializing K^T/V^T in VMEM, and the remaining scalar `* scale`
-    # moves off the wide [block_q, block_k] ds tensor onto the narrow
-    # [block_q, D] accumulator (scalars commute through the matmul).
-    q = (q_ref[:].astype(jnp.float32) * scale).astype(q_ref.dtype)
+               scale, block_k, seq_k, has_bias, exp2):
+    # Same VPU-economy tricks as _fwd_kernel: the sm scale (and log2e under
+    # exp2) is folded into the small q tile (s comes out pre-scaled, in the
+    # log2 domain), NT dot_general avoids materializing K^T/V^T in VMEM, and
+    # the remaining scalar `* scale` moves off the wide [block_q, block_k]
+    # ds tensor onto the narrow [block_q, D] accumulator (scalars commute
+    # through the matmul). lse/bias arrive pre-scaled by log2e under exp2.
+    eff = scale * _LOG2E if exp2 else scale
+    expf = jnp.exp2 if exp2 else jnp.exp
+    q = (q_ref[:].astype(jnp.float32) * eff).astype(q_ref.dtype)
     do = do_ref[:]
-    lse = lse_ref[:]          # [block_q, 1]
+    lse = lse_ref[:]          # [block_q, 1]  (log2 domain under exp2)
     delta = dl_ref[:]         # [block_q, 1]
     block_q, d = q.shape
 
@@ -183,7 +249,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, dl_ref, dq_ref, *,
                                 preferred_element_type=jnp.float32)
         if has_bias:
             s = s + b_ref[0, pl.ds(i * block_k, block_k)][None, :]
-        p = jnp.exp(s - lse)
+        p = expf(s - lse)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
@@ -196,7 +262,9 @@ def _dq_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, dl_ref, dq_ref, *,
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, dl_ref,
-                dk_ref, dv_ref, *, scale, block_q, seq_q, has_bias):
+                dk_ref, dv_ref, *, scale, block_q, seq_q, has_bias, exp2):
+    eff = scale * _LOG2E if exp2 else scale
+    expf = jnp.exp2 if exp2 else jnp.exp
     k_blk = k_ref[:]
     v_blk = v_ref[:]
     block_k, d = k_blk.shape
@@ -204,12 +272,14 @@ def _dkv_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, dl_ref,
     bias = b_ref[0, :][None, :] if has_bias else None
 
     def body(i, carry):
-        # scale folded into the small q tile: s = q̂ k^T is pre-scaled, and
-        # dk = ds^T q̂ picks up its single factor of scale from q̂ as well —
-        # the wide [block_q, block_k] `* scale` multiply disappears
+        # scale folded into the small q tile: s = q̂ k^T is pre-scaled (and
+        # in the log2 domain under exp2, matching the pre-scaled lse/bias),
+        # and dk = ds^T q̂ picks up its single factor of scale from q̂ —
+        # the wide [block_q, block_k] `* scale` multiply disappears; the
+        # stray log2e factor is divided off the narrow accumulator at the end
         acc_dk, acc_dv = carry
         q_i = q_ref[pl.ds(i * block_q, block_q), :]
-        q_i = (q_i.astype(jnp.float32) * scale).astype(q_i.dtype)
+        q_i = (q_i.astype(jnp.float32) * eff).astype(q_i.dtype)
         do_i = do_ref[pl.ds(i * block_q, block_q), :]
         lse_i = lse_ref[pl.ds(i * block_q, block_q), :]   # [bq, 1]
         dl_i = dl_ref[pl.ds(i * block_q, block_q), :]
@@ -217,7 +287,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, dl_ref,
                                 preferred_element_type=jnp.float32)
         if bias is not None:
             s = s + bias
-        p = jnp.exp(s - lse_i)
+        p = expf(s - lse_i)
         # dv += p^T do   (contract over the q dim, no explicit transpose)
         acc_dv = acc_dv + jax.lax.dot_general(
             p.astype(do_i.dtype), do_i, (((0,), (0,)), ((), ())),
@@ -225,8 +295,6 @@ def _dkv_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, dl_ref,
         dp = jax.lax.dot_general(do_i, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - dl_i)
-        # dk += ds^T q̂  (q̂ already carries one factor of scale; the other
-        # factor — from ds — is applied to the accumulator at the end)
         acc_dk = acc_dk + jax.lax.dot_general(
             ds.astype(q_i.dtype), q_i, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -235,7 +303,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, lse_ref, dl_ref,
     acc0 = (jnp.zeros((block_k, d), jnp.float32),
             jnp.zeros((block_k, dv_dim), jnp.float32))
     acc_dk, acc_dv = jax.lax.fori_loop(0, seq_q // block_q, body, acc0)
-    dk_ref[:] = acc_dk.astype(dk_ref.dtype)
+    dk_fix = (1.0 / _LOG2E) if exp2 else 1.0    # q̂ carried scale*log2e
+    dk_ref[:] = (acc_dk * dk_fix).astype(dk_ref.dtype)
     dv_ref[:] = acc_dv.astype(dv_ref.dtype)
 
 
@@ -244,13 +313,17 @@ def _fold_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
 
 
-def _flash_fwd_impl(q, k, v, bias, scale, *, interpret=False):
+def _flash_fwd_impl(q, k, v, bias, scale, *, interpret=False, nomax=None):
     b, sq, h, d = q.shape
     sk = k.shape[1]
     dv = v.shape[-1]
     has_bias = bias is not None
+    exp2 = _EXP2
+    if nomax is None:
+        nomax = _NOMAX
+    bias_fold = _LOG2E if exp2 else 1.0
     # bias lives as [B, 1, Sk] so its block's last-two dims (1, Sk) tile
-    bias = (bias.astype(jnp.float32)[:, None, :] if has_bias
+    bias = (bias.astype(jnp.float32)[:, None, :] * bias_fold if has_bias
             else jnp.zeros((1, 1, 1), jnp.float32))  # dummy, never read
     qf, kf, vf = _fold_heads(q), _fold_heads(k), _fold_heads(v)
     # ones column: the PV matmul then emits the softmax row sum l in an
@@ -265,28 +338,50 @@ def _flash_fwd_impl(q, k, v, bias, scale, *, interpret=False):
     bias_spec = (pl.BlockSpec((None, 1, sk), lambda i, j: (i // h, 0, 0))
                  if has_bias else
                  pl.BlockSpec((None, 1, 1), lambda i, j: (0, 0, 0)))
-    out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, block_k=block_k,
-                          seq_k=sk, has_bias=has_bias),
-        grid=(b * h, sq // block_q),
-        in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((None, sk, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((None, sk, dv + 1), lambda i, j: (i, 0, 0)),
-            bias_spec,
-        ],
-        out_specs=[
-            pl.BlockSpec((None, block_q, dv), lambda i, j: (i, j, 0)),
-            # lse rows live as [bh, sq, 1]: the trailing singleton keeps the
-            # block's last-two dims (block_q, 1) Mosaic-tileable
-            pl.BlockSpec((None, block_q, 1), lambda i, j: (i, j, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b * h, sq, dv), q.dtype),
-            jax.ShapeDtypeStruct((b * h, sq, 1), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qf, kf, vf, bias)
+    out_specs = [
+        pl.BlockSpec((None, block_q, dv), lambda i, j: (i, j, 0)),
+        # lse rows live as [bh, sq, 1]: the trailing singleton keeps the
+        # block's last-two dims (block_q, 1) Mosaic-tileable
+        pl.BlockSpec((None, block_q, 1), lambda i, j: (i, j, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b * h, sq, dv), q.dtype),
+        jax.ShapeDtypeStruct((b * h, sq, 1), jnp.float32),
+    ]
+    in_specs = [
+        pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+        pl.BlockSpec((None, sk, d), lambda i, j: (i, 0, 0)),
+        pl.BlockSpec((None, sk, dv + 1), lambda i, j: (i, 0, 0)),
+        bias_spec,
+    ]
+    if nomax:
+        # q̂ pre-scaled on the XLA side so the row cap is computed from the
+        # very values the kernel dots; Cauchy-Schwarz: s <= |q̂_i| max_k|k|.
+        # +1 margin absorbs bf16/accumulation rounding (uniformly shrinks p;
+        # the normalized output is invariant to it).
+        eff = scale * (_LOG2E if exp2 else 1.0)
+        qf = (qf.astype(jnp.float32) * eff).astype(qf.dtype)
+        qn = jnp.linalg.norm(qf.astype(jnp.float32), axis=-1, keepdims=True)
+        kn = jnp.max(jnp.linalg.norm(kf.astype(jnp.float32), axis=-1),
+                     axis=-1)[:, None, None]              # [bh, 1, 1]
+        cap = qn * kn + 1.0                               # [bh, sq, 1] f32
+        out, lse = pl.pallas_call(
+            functools.partial(_fwd_kernel_nomax, scale=scale,
+                              block_k=block_k, seq_k=sk, has_bias=has_bias,
+                              exp2=exp2),
+            grid=(b * h, sq // block_q),
+            in_specs=in_specs + [
+                pl.BlockSpec((None, block_q, 1), lambda i, j: (i, j, 0))],
+            out_specs=out_specs, out_shape=out_shape, interpret=interpret,
+        )(qf, kf, vf, bias, cap)
+    else:
+        out, lse = pl.pallas_call(
+            functools.partial(_fwd_kernel, scale=scale, block_k=block_k,
+                              seq_k=sk, has_bias=has_bias, exp2=exp2),
+            grid=(b * h, sq // block_q),
+            in_specs=in_specs,
+            out_specs=out_specs, out_shape=out_shape, interpret=interpret,
+        )(qf, kf, vf, bias)
     return out.reshape(b, h, sq, dv).transpose(0, 2, 1, 3), lse
 
 
@@ -295,8 +390,13 @@ def _flash_bwd_impl(q, k, v, bias, out, lse, g, scale, *, interpret=False):
     sk = k.shape[1]
     dv = v.shape[-1]
     has_bias = bias is not None
-    bias_arr = (bias.astype(jnp.float32)[:, None, :] if has_bias
+    exp2 = _EXP2
+    # under exp2 the kernels' scores live in the log2 domain: pre-scale the
+    # (tiny) lse rows and bias to match (see _fwd_kernel)
+    bias_fold = _LOG2E if exp2 else 1.0
+    bias_arr = (bias.astype(jnp.float32)[:, None, :] * bias_fold if has_bias
                 else jnp.zeros((1, 1, 1), jnp.float32))
+    lse = lse * bias_fold
 
     qf, kf, vf = _fold_heads(q), _fold_heads(k), _fold_heads(v)
     dof = _fold_heads(g)
@@ -312,7 +412,7 @@ def _flash_bwd_impl(q, k, v, bias, out, lse, g, scale, *, interpret=False):
                  pl.BlockSpec((None, 1, 1), lambda i, j: (0, 0, 0)))
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, block_k=block_k_stream,
-                          seq_k=sk, has_bias=has_bias),
+                          seq_k=sk, has_bias=has_bias, exp2=exp2),
         grid=(b * h, sq // block_q),
         in_specs=[
             pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
@@ -335,7 +435,7 @@ def _flash_bwd_impl(q, k, v, bias, out, lse, g, scale, *, interpret=False):
                 pl.BlockSpec((None, 1, 1), lambda i, j: (0, 0, 0)))
     dk, dvv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, block_q=block_q_stream,
-                          seq_q=sq, has_bias=has_bias),
+                          seq_q=sq, has_bias=has_bias, exp2=exp2),
         grid=(b * h, sk // block_k),
         in_specs=[
             pl.BlockSpec((None, sq, d), lambda i, j: (i, 0, 0)),

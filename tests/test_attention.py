@@ -154,3 +154,78 @@ def test_fused_self_attention_parity():
                                         key_bias=kb, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_flash_nomax_forward_matches_xla(with_bias):
+    # serving variant: Cauchy-Schwarz row cap replaces the max pass
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    b, sq, h, d = 2, 512, 2, 40
+    q = _rand(ks[0], b, sq, h, d)
+    k = _rand(ks[1], b, sq, h, d)
+    v = _rand(ks[2], b, sq, h, d)
+    bias = None
+    if with_bias:
+        keep = jax.random.bernoulli(ks[3], 0.7, (b, sq)).astype(jnp.float32)
+        bias = (keep - 1.0) * (-attn.NEG_BIG)
+    scale = d ** -0.5
+    ref = attn._attention_xla(q, k, v, None, bias, scale)
+    out, lse = attn._flash_fwd_impl(q, k, v, bias, scale, interpret=True,
+                                    nomax=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # the emitted lse must stay EXACT (backward correctness), cap-invariant
+    _, lse_exact = attn._flash_fwd_impl(q, k, v, bias, scale, interpret=True,
+                                        nomax=False)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_exact),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_flash_nomax_underflow_guard():
+    # a row whose scores all sit far below the cap must yield finite zeros,
+    # not NaN: build adversarial q/k with huge norms but negative alignment
+    b, sq, h, d = 1, 512, 1, 40
+    q = jnp.ones((b, sq, h, d), jnp.float32) * 60.0
+    k = -jnp.ones((b, sq, h, d), jnp.float32) * 60.0
+    v = jnp.ones((b, sq, h, d), jnp.float32)
+    # s = -d*3600*scale ~ -22.7k; cap = +|q||k| ~ +22.7k -> gap >> exp range
+    out, _ = attn._flash_fwd_impl(q, k, v, None, d ** -0.5, interpret=True,
+                                  nomax=True)
+    o = np.asarray(out)
+    assert np.isfinite(o).all()
+    np.testing.assert_allclose(o, 0.0, atol=1e-20)
+
+
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_flash_exp2_variant_parity(with_bias):
+    # log2-domain kernels (env-gated A/B path): forward + VJP must match
+    ks = jax.random.split(jax.random.PRNGKey(9), 4)
+    b, sq, h, d = 1, 512, 2, 40
+    q = _rand(ks[0], b, sq, h, d)
+    k = _rand(ks[1], b, sq, h, d)
+    v = _rand(ks[2], b, sq, h, d)
+    bias = None
+    if with_bias:
+        keep = jax.random.bernoulli(ks[3], 0.8, (b, sq)).astype(jnp.float32)
+        bias = (keep - 1.0) * (-attn.NEG_BIG)
+    scale = d ** -0.5
+
+    def loss(q, k, v):
+        return jnp.sum(attn.flash_attention(q, k, v, bias, scale, True)
+                       .astype(jnp.float32) ** 2)
+
+    old = attn._EXP2
+    try:
+        attn._EXP2 = False
+        ref_out = attn.flash_attention(q, k, v, bias, scale, True)
+        ref_g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        attn._EXP2 = True
+        out = attn.flash_attention(q, k, v, bias, scale, True)
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        attn._EXP2 = old
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=2e-5, atol=2e-5)
+    for a, b_ in zip(g, ref_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)

@@ -98,6 +98,7 @@ class StableDiffusionPipeline:
         self.text_cfg = text_cfg
         self.sched = sched
         self.compute_dtype = compute_dtype
+        self.mesh = None
 
     # -- constructors ---------------------------------------------------------
 
@@ -127,6 +128,42 @@ class StableDiffusionPipeline:
                           vae=vae_mod.init_params(k2, vcfg),
                           text=clip_text.init_params(k3, tcfg))
         return cls(params, unet_cfg=ucfg, vae_cfg=vcfg, text_cfg=tcfg, **kw)
+
+    # -- multi-chip serving ------------------------------------------------------
+
+    def distribute(self, mesh=None) -> "StableDiffusionPipeline":
+        """Shard serving over a device mesh: params replicated (serving has
+        no optimizer state; replication keeps the denoise loop free of
+        weight all-gathers), batch sharded over the 'dp' axis. GSPMD emits
+        any collectives; the scan/decode graph is unchanged.
+
+        The reference's only parallelism is 2-GPU DDP *training*
+        (main.py:829); serving there is single-GPU. This is the TPU-native
+        serving equivalent: one jit over the mesh, throughput scales with
+        dp size, generate() batches must be divisible by it.
+        """
+        from adaprompt_tpu.parallel import mesh as mesh_mod
+        if mesh is None:
+            mesh = mesh_mod.make_mesh()          # pure DP over all devices
+        self.mesh = mesh
+        self.params = SDParams(            # SDParams is not a pytree node
+            unet=mesh_mod.replicate(self.params.unet, mesh),
+            vae=mesh_mod.replicate(self.params.vae, mesh),
+            text=mesh_mod.replicate(self.params.text, mesh))
+        return self
+
+    def _shard_batch(self, cond, uncond, x_T):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp = self.mesh.shape["dp"]
+        b = x_T.shape[0]
+        if b % dp:
+            raise ValueError(
+                f"batch {b} not divisible by the mesh dp size {dp}; pad the "
+                "prompt list or use a smaller mesh")
+        ctx_sh = NamedSharding(self.mesh, P(None, "dp"))
+        lat_sh = NamedSharding(self.mesh, P("dp"))
+        return (jax.device_put(cond, ctx_sh), jax.device_put(uncond, ctx_sh),
+                jax.device_put(x_T, lat_sh))
 
     # -- text encoding ---------------------------------------------------------
 
@@ -177,6 +214,8 @@ class StableDiffusionPipeline:
 
         key = jax.random.PRNGKey(seed)
         x_T = jax.random.normal(key, (b, height // 8, width // 8, 4), jnp.float32)
+        if self.mesh is not None:
+            cond, uncond, x_T = self._shard_batch(cond, uncond, x_T)
         if fast is not None:
             out = _generate_fast_jit(self.params.unet, self.params.vae, cond,
                                      uncond, x_T, num_steps,

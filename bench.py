@@ -52,11 +52,16 @@ def main():
         pipe = StableDiffusionPipeline.random_init(0, param_dtype=jnp.bfloat16)
 
     n_chips = jax.local_device_count()
+    if n_chips > 1:
+        # shard serving over every local chip (dp mesh, params replicated);
+        # `batch` below stays the PER-CHIP batch so img/s/chip is comparable
+        pipe.distribute()
+        log(f"bench: sharding batch over {n_chips} local devices (dp mesh)")
     best = 0.0
     best_batch = batches[0]
     per_batch = []
     for batch in batches:
-        prompts = ["a portrait photo of a person, detailed, studio lighting"] * batch
+        prompts = ["a portrait photo of a person, detailed, studio lighting"] * (batch * n_chips)
         t0 = time.perf_counter()
         imgs = pipe.generate(prompts, num_steps=steps, height=512, width=512,
                              seed=0)
@@ -69,7 +74,8 @@ def main():
                                  width=512, seed=i + 1)
             np.asarray(imgs)
         dt = time.perf_counter() - t0
-        ips = (batch * n_iters) / dt / n_chips
+        # generate() produced batch*n_chips images per iteration
+        ips = (batch * n_iters) / dt
         log(f"bench: batch={batch} steps={steps} iters={n_iters} "
             f"warmup+compile={compile_s:.1f}s run={dt:.2f}s "
             f"-> {ips:.3f} img/s/chip")
@@ -94,7 +100,7 @@ def main():
             fast = FastConfig(tome_ratio=0.5, tome_mlp=True, cache_interval=2,
                               cache_depth=3, cfg_tail_frac=0.2)
             prompts = ["a portrait photo of a person, detailed,"
-                       " studio lighting"] * best_batch
+                       " studio lighting"] * (best_batch * n_chips)
             imgs = pipe.generate(prompts, num_steps=steps, height=512,
                                  width=512, seed=0, fast=fast)
             np.asarray(imgs)
@@ -104,7 +110,7 @@ def main():
                                      width=512, seed=i + 1, fast=fast)
                 np.asarray(imgs)
             dt = time.perf_counter() - t0
-            fips = (best_batch * n_iters) / dt / n_chips
+            fips = (best_batch * n_iters) / dt
             log(f"bench: fastpath(mild) batch={best_batch} -> "
                 f"{fips:.3f} img/s/chip")
             result["fastpath_img_per_sec"] = round(fips, 4)

@@ -53,3 +53,23 @@ def test_gn_silu_conv3x3_halo_parity(hw, cin, cout):
                         - np.asarray(ref, np.float32)))
     assert err < 0.12 * max(float(np.max(np.abs(np.asarray(ref, np.float32)))),
                             1.0)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu", reason="TPU kernel; "
+                    "numerics validated on-device (interpret mode diverges "
+                    "on manual DMA)")
+@pytest.mark.parametrize("hw,cin,cout", [
+    (64, 320, 320), (32, 640, 640), (16, 1280, 1280), (64, 640, 320)])
+def test_conv3x3_im2col_parity(hw, cin, cout):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, cin)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.02,
+                    jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal(cout) * 0.01, jnp.bfloat16)
+    got = jax.jit(conv_halo.conv3x3_im2col)(x, w, b)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16) + b
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=0.06)

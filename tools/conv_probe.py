@@ -67,7 +67,18 @@ def conv_im2col(x, w):
     return out.reshape(b, h, wd, f).astype(x.dtype)
 
 
-FORMS = {"conv": conv_ref, "shift9": conv_shift9, "im2col": conv_im2col}
+def conv_halo9(x, w):
+    from adaprompt_tpu.ops import conv_halo
+    return conv_halo.conv3x3_halo(x, w, jnp.zeros(w.shape[-1], x.dtype))
+
+
+def conv_halo_i2c(x, w):
+    from adaprompt_tpu.ops import conv_halo
+    return conv_halo.conv3x3_im2col(x, w, jnp.zeros(w.shape[-1], x.dtype))
+
+
+FORMS = {"conv": conv_ref, "shift9": conv_shift9, "im2col": conv_im2col,
+         "halo9": conv_halo9, "halo_i2c": conv_halo_i2c}
 
 
 def main():

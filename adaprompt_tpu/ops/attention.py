@@ -40,6 +40,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _FLASH_MIN_Q = 512  # below this, the XLA path is faster than kernel launch overhead
+# flash also needs a long KEY sequence to pay: at Sk=77 (training-path
+# cross-attention; the sampler uses the fused kernel instead) the flash
+# kernel measured 1.6x SLOWER than the XLA einsum chain (2.04 vs 1.31 ms at
+# [8,4096,8,40]x77, tools/attn_sweep.py round 3) — the [Sq, 77] score tile
+# wastes most of its 128-lane padding while XLA fuses the whole chain.
+_FLASH_MIN_K = 256
 NEG_BIG = -1e9      # masked-key bias; finite so exp arithmetic stays NaN-free
 
 # A/B knob: ADAPROMPT_NO_FLASH=1 forces the XLA einsum path wherever the
@@ -48,6 +54,16 @@ NEG_BIG = -1e9      # masked-key bias; finite so exp arithmetic stays NaN-free
 _NO_FLASH = bool(os.environ.get("ADAPROMPT_NO_FLASH"))
 
 _LOG2E = 1.4426950408889634
+
+# Mosaic's default scoped-VMEM budget is 16MB — a compiler default, not a
+# hardware cap (v5e has 128MB physical VMEM). The flash kernels keep K/V
+# resident across q blocks plus a [block_q, seq_k] fp32 score tile, so
+# block_q > 256 at seq 4096 needs the raised budget.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20)
+# backward grid block targets (tools/flash_bwd_probe.py --sweep A/Bs these
+# under the raised VMEM budget)
+_BWD_BLOCK_Q = 256
+_BWD_BLOCK_K = 256
 # exp2 folding (A/B knob, measured NEUTRAL-to-NEGATIVE on v5e — see
 # docs/PERF.md round 3): fold log2(e) into the pre-scaled q tile (and
 # bias/lse), so the softmax exponential lowers to a raw exp2 instead of
@@ -105,7 +121,8 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         scale = 1.0 / math.sqrt(q.shape[-1])
     if use_flash is None:
         use_flash = (not _NO_FLASH and mask is None
-                     and q.shape[1] >= _FLASH_MIN_Q and pallas_ok())
+                     and q.shape[1] >= _FLASH_MIN_Q
+                     and k.shape[1] >= _FLASH_MIN_K and pallas_ok())
     if use_flash:
         if mask is not None:
             raise ValueError("use_flash=True cannot honor a full additive "
@@ -331,8 +348,11 @@ def _flash_fwd_impl(q, k, v, bias, scale, *, interpret=False, nomax=None):
     vf = jnp.concatenate([vf, jnp.ones_like(vf[..., :1])], axis=-1)
 
     # single K pass when K fits VMEM comfortably (<=4096) — avoids the
-    # online-softmax rescale traffic; otherwise stream 1024-blocks
-    block_q = _pick_block(sq, 256 if sk >= 4096 else 512)
+    # online-softmax rescale traffic; otherwise stream 1024-blocks.
+    # block_q 1024 needs the raised scoped-VMEM budget (_VMEM_LIMIT) for its
+    # [1024, seq_k] fp32 score tile; swept best at the UNet shapes
+    # (tools/attn_sweep.py round 3: 4.86 ms at bq=256 -> 4.65 at bq=1024).
+    block_q = _pick_block(sq, 1024)
     block_k = _pick_block(sk, 4096)
 
     bias_spec = (pl.BlockSpec((None, 1, sk), lambda i, j: (i // h, 0, 0))
@@ -373,6 +393,7 @@ def _flash_fwd_impl(q, k, v, bias, scale, *, interpret=False, nomax=None):
             in_specs=in_specs + [
                 pl.BlockSpec((None, block_q, 1), lambda i, j: (i, j, 0))],
             out_specs=out_specs, out_shape=out_shape, interpret=interpret,
+            compiler_params=_VMEM_LIMIT,
         )(qf, kf, vf, bias, cap)
     else:
         out, lse = pl.pallas_call(
@@ -381,6 +402,7 @@ def _flash_fwd_impl(q, k, v, bias, scale, *, interpret=False, nomax=None):
             grid=(b * h, sq // block_q),
             in_specs=in_specs,
             out_specs=out_specs, out_shape=out_shape, interpret=interpret,
+            compiler_params=_VMEM_LIMIT,
         )(qf, kf, vf, bias)
     return out.reshape(b, h, sq, dv).transpose(0, 2, 1, 3), lse
 
@@ -404,7 +426,7 @@ def _flash_bwd_impl(q, k, v, bias, out, lse, g, scale, *, interpret=False):
     delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32),
                     axis=-1, keepdims=True)          # [bh, sq, 1]
 
-    block_q = _pick_block(sq, 256)
+    block_q = _pick_block(sq, _BWD_BLOCK_Q)
     block_k_stream = _pick_block(sk, 2048)
 
     bias_full = (pl.BlockSpec((None, 1, sk), lambda i, j: (i // h, 0, 0))
@@ -426,9 +448,10 @@ def _flash_bwd_impl(q, k, v, bias, out, lse, g, scale, *, interpret=False):
         out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(qf, kf, vf, bias_arr, dof, lse, delta)
 
-    block_k = _pick_block(sk, 256)
+    block_k = _pick_block(sk, _BWD_BLOCK_K)
     block_q_stream = _pick_block(sq, 2048)
     bias_blk = (pl.BlockSpec((None, 1, block_k), lambda i, j: (i // h, 0, j))
                 if has_bias else
@@ -455,6 +478,7 @@ def _flash_bwd_impl(q, k, v, bias, out, lse, g, scale, *, interpret=False):
             jax.ShapeDtypeStruct((b * h, sk, dv), v.dtype),
         ],
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(qf, kf, vf, bias_arr, dof, lse, delta)
 
     unfold = lambda x, s: x.reshape(b, h, s, -1).transpose(0, 2, 1, 3)

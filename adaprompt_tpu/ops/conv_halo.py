@@ -105,7 +105,8 @@ def conv3x3_halo(x: jax.Array, kernel: jax.Array, bias: jax.Array,
 
 
 def conv3x3_im2col(x: jax.Array, kernel: jax.Array, bias: jax.Array,
-                   tile_h: int = 8, out_tile: int = 512) -> jax.Array:
+                   tile_h: int = 8, out_tile: int = 512,
+                   vmem_limit_mb: int = 100) -> jax.Array:
     """3x3 stride-1 SAME conv as a true implicit GEMM: the 9 taps are
     assembled into a [tile_h*W, 9*C] patch tile IN VMEM (never touching
     HBM, unlike a materialized im2col) and contracted in ONE MXU matmul.
@@ -116,6 +117,10 @@ def conv3x3_im2col(x: jax.Array, kernel: jax.Array, bias: jax.Array,
     pipeline and avoids the 9 fp32 VPU accumulation adds of the 9-dot form
     (conv3x3_halo). HBM traffic is identical to the halo kernel: one read
     of x, one write of y; the 9x patch duplication lives only in VMEM.
+
+    vmem_limit_mb raises Mosaic's scoped-VMEM budget past the 16MB compiler
+    default (v5e has 128MB physical VMEM), allowing row tiles big enough
+    for MXU-efficient [tile_h*W, 9C] matmuls.
     """
     b, h, w, c = x.shape
     o = kernel.shape[-1]
@@ -124,18 +129,21 @@ def conv3x3_im2col(x: jax.Array, kernel: jax.Array, bias: jax.Array,
     th = min(tile_h, h)
     while th > 1 and h % th:
         th //= 2
-    # patches tile (th*w, 9cp) bf16 + input tile + acc must fit VMEM
-    while th > 1 and th * w * 9 * cp * 2 > 6 * 2 ** 20:
+    # patches tile (th*w, 9cp) bf16 + input tile + fp32 acc must fit the
+    # scoped-VMEM budget with ~2x headroom for Mosaic's own temporaries
+    budget = vmem_limit_mb * 2 ** 20 // 2
+    while th > 1 and th * w * 9 * cp * 2 > budget:
         th //= 2
+    # largest 128-multiple divisor of op that is <= out_tile and keeps the
+    # weight block within a quarter of the budget
     ot = op
-    if 9 * cp * op * 2 > 4 * 2 ** 20:
-        for cand in sorted({d for d in range(128, op + 1, 128)
-                            if op % d == 0}, reverse=True):
-            if cand <= out_tile and 9 * cp * cand * 2 <= 4 * 2 ** 20:
-                ot = cand
-                break
-        else:
-            ot = 128 if op % 128 == 0 else op
+    for cand in sorted({d for d in range(128, op + 1, 128)
+                        if op % d == 0}, reverse=True):
+        if cand <= out_tile and 9 * cp * cand * 2 <= budget // 2:
+            ot = cand
+            break
+    else:
+        ot = 128 if op % 128 == 0 else op
     assert h % th == 0 and op % ot == 0
 
     def kern(x_hbm, w_ref, b_ref, o_ref):
@@ -178,6 +186,9 @@ def conv3x3_im2col(x: jax.Array, kernel: jax.Array, bias: jax.Array,
                                lambda bi, ti, oi: (bi, ti, 0, oi),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, op), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_limit_mb * 2 ** 20),
     )(xp, wp, bp)
     return out[..., :o]
 

@@ -14,11 +14,11 @@ value is the best over the batch sweep (throughput is what the metric
 measures; batch is free at serving time).
 
 Env knobs: ADAPROMPT_BENCH_BATCHES (default "4,8"), ADAPROMPT_BENCH_STEPS
-(50), ADAPROMPT_BENCH_ITERS (3), ADAPROMPT_SD_CKPT (optional checkpoint),
-ADAPROMPT_BENCH_FASTPATH=1 additionally times the opt-in approximate
-serving path (FastConfig "mild" preset) at the best batch and reports it
-as an auxiliary "fastpath_img_per_sec" field — the headline stays the
-exact sampler.
+(50), ADAPROMPT_BENCH_ITERS (3), ADAPROMPT_SD_CKPT (optional checkpoint).
+By default the bench also times the opt-in approximate serving path
+(FastConfig "mild" preset) at the best batch and reports it as an
+auxiliary "fastpath_img_per_sec" field — the headline stays the exact
+sampler; set ADAPROMPT_BENCH_FASTPATH=0 to skip that extra measurement.
 """
 
 import json
@@ -94,7 +94,7 @@ def main():
         "per_batch": per_batch,
     }
 
-    if os.environ.get("ADAPROMPT_BENCH_FASTPATH"):
+    if os.environ.get("ADAPROMPT_BENCH_FASTPATH", "1") != "0":
         try:
             from adaprompt_tpu.pipeline import FastConfig
             fast = FastConfig(tome_ratio=0.5, tome_mlp=True, cache_interval=2,

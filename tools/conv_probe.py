@@ -84,8 +84,14 @@ FORMS = {"conv": conv_ref, "shift9": conv_shift9, "im2col": conv_im2col,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--forms", type=str, default=",".join(FORMS),
+                    help="comma list of forms to probe (conv always first)")
     args = ap.parse_args()
     n = args.iters
+    sel = [f for f in args.forms.split(",") if f]
+    if "conv" not in sel:
+        sel = ["conv"] + sel
+    forms = {k: FORMS[k] for k in FORMS if k in sel}
 
     shapes = [(16, 64, 64, 320, 320),
               (16, 32, 32, 640, 640),
@@ -97,8 +103,8 @@ def main():
         w = jax.random.normal(kw, (3, 3, c, f), jnp.bfloat16) * 0.02
         gflop = 2 * b * h * wd * 9 * c * f / 1e9
 
-        ref = None
-        for name, fn in FORMS.items():
+        ref = np.asarray(FORMS["conv"](x, w), np.float32)
+        for name, fn in forms.items():
             @jax.jit
             def chained(x, w, fn=fn):
                 def body(xc, _):
@@ -116,7 +122,6 @@ def main():
             dt = (time.perf_counter() - t0) / n
             tfs = gflop / dt / 1e3
             if name == "conv":
-                ref = np.asarray(FORMS["conv"](x, w), np.float32)
                 err = 0.0
             else:
                 out = np.asarray(fn(x, w), np.float32)

@@ -23,11 +23,18 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--sweep", action="store_true",
+                    help="A/B the _BWD_BLOCK_Q/_BWD_BLOCK_K targets "
+                         "(raised-VMEM block sizes) per shape")
     args = ap.parse_args()
+    from adaprompt_tpu.ops import attention as attn
     from adaprompt_tpu.ops.attention import flash_attention
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     n = args.iters
+    block_cfgs = [(256, 256)]
+    if args.sweep:
+        block_cfgs += [(512, 256), (256, 512), (512, 512), (1024, 512)]
     for (b, s, h, d), bias in [((4, 4096, 8, 40), False),
                                ((4, 4096, 8, 40), True),
                                ((8, 1024, 8, 80), False)]:
@@ -46,7 +53,6 @@ def main():
 
         grad_fn = jax.grad(loss, argnums=(0, 1, 2))
 
-        @jax.jit
         def chained(q, k, v):
             def body(qc, _):
                 dq, dk, dv = grad_fn(qc, k, v)
@@ -57,14 +63,25 @@ def main():
             qn, sums = jax.lax.scan(body, q, None, length=n)
             return qn, sums
 
-        out = chained(q, k, v)
-        np.asarray(out[0])   # compile + sync
-        t0 = time.perf_counter()
-        out = chained(q, k, v)
-        np.asarray(out[0])
-        dt = (time.perf_counter() - t0) / n * 1e3
-        print(f"bwd [{b},{s},{h},{d}] bias={bias}: {dt:.3f} ms/iter "
-              f"(scan x{n})")
+        for bq, bk in block_cfgs:
+            attn._BWD_BLOCK_Q, attn._BWD_BLOCK_K = bq, bk
+            try:
+                # fresh jit per config: the block targets are read at trace
+                # time, so a cached executable would ignore the patch
+                f = jax.jit(lambda q, k, v: chained(q, k, v))
+                out = f(q, k, v)
+                np.asarray(out[0])   # compile + sync
+                t0 = time.perf_counter()
+                out = f(q, k, v)
+                np.asarray(out[0])
+                dt = (time.perf_counter() - t0) / n * 1e3
+                print(f"bwd [{b},{s},{h},{d}] bias={bias} "
+                      f"bq={bq} bk={bk}: {dt:.3f} ms/iter (scan x{n})")
+            except Exception as e:
+                print(f"bwd [{b},{s},{h},{d}] bias={bias} bq={bq} bk={bk}: "
+                      f"FAIL {str(e).splitlines()[0][:90]}")
+            finally:
+                attn._BWD_BLOCK_Q, attn._BWD_BLOCK_K = 256, 256
 
 
 if __name__ == "__main__":

@@ -41,6 +41,11 @@ def parse_args(argv=None):
     p.add_argument("--subject_string", type=str, default="z")
     p.add_argument("--n_samples", type=int, default=4)
     p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=("ddim", "dpmpp"),
+                   help="ddim = reference semantics; dpmpp = "
+                        "DPM-Solver++(2M), ~20-25 steps match DDIM-50 "
+                        "(pass a smaller --ddim_steps)")
     p.add_argument("--scale", type=float, nargs="+", default=[4.0, 1.0])
     p.add_argument("--compel_cfg_weight_level", type=float, default=0.0,
                    help="compel-style prompt weighting: push the cond "
@@ -148,7 +153,8 @@ def main(argv=None):
         imgs = pipe.generate(None, context=cond, context_uncond=uncond,
                              num_steps=args.ddim_steps,
                              guidance_scale=tuple(args.scale) if len(args.scale) > 1 else args.scale[0],
-                             height=args.H, width=args.W, seed=args.seed + pi)
+                             height=args.H, width=args.W, seed=args.seed + pi,
+                             sampler=args.sampler)
         all_paths += common.save_images(imgs, args.outdir, prefix=f"p{pi:03d}")
     print(f"saved {len(all_paths)} images to {args.outdir}")
 

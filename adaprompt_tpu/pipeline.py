@@ -189,7 +189,8 @@ class StableDiffusionPipeline:
                  context: jax.Array | None = None,
                  context_uncond: jax.Array | None = None,
                  return_latents: bool = False,
-                 fast: FastConfig | None = None) -> np.ndarray:
+                 fast: FastConfig | None = None,
+                 sampler: str = "ddim") -> np.ndarray:
         """Text to images.
 
         Either `prompts` (list of strings) or precomputed `context`
@@ -198,7 +199,16 @@ class StableDiffusionPipeline:
 
         `fast` enables the opt-in approximate serving accelerations
         (see FastConfig); None (the default) is the exact sampler.
+        `sampler`: "ddim" (reference semantics, default) or "dpmpp"
+        (DPM-Solver++(2M), sampling/dpm.py — a higher-order solver of the
+        same ODE; ~20-25 steps match DDIM-50 quality, so pass a smaller
+        num_steps). The fast path supports DDIM only.
         """
+        if sampler not in ("ddim", "dpmpp"):
+            raise ValueError(f"unknown sampler {sampler!r}")
+        if fast is not None and sampler != "ddim":
+            raise ValueError("FastConfig accelerations support the DDIM "
+                             "sampler only")
         if context is None:
             cond = self.encode_prompt(prompts, skip_weights)[None]  # [1,B,77,768]
         else:
@@ -226,7 +236,7 @@ class StableDiffusionPipeline:
             out = _generate_jit(self.params.unet, self.params.vae, cond, uncond,
                                 x_T, num_steps, _as_pair(guidance_scale),
                                 return_latents, self.unet_cfg, self.vae_cfg,
-                                self.sched, self.compute_dtype)
+                                self.sched, self.compute_dtype, sampler)
         return np.asarray(out)
 
     def decode_latents(self, z: jax.Array) -> np.ndarray:
@@ -258,10 +268,10 @@ def _encode_ids(text_params, ids, skip_weights, inputs_embeds, text_cfg):
                             hidden_state_layer_weights=skip_weights)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def _generate_jit(unet_params, vae_params, cond, uncond, x_T,
                   num_steps, guidance, return_latents, unet_cfg, vae_cfg,
-                  sched, dt):
+                  sched, dt, sampler="ddim"):
     ctx = jnp.concatenate([cond, uncond], axis=1).astype(dt)  # [L, 2B, 77, D]
     # context is constant across DDIM steps: hoist every CA layer's K/V
     # projection out of the scan (50x fewer projections at DDIM-50)
@@ -272,8 +282,13 @@ def _generate_jit(unet_params, vae_params, cond, uncond, x_T,
                                 ctx, cross_kv=cross_kv,
                                 cfg=unet_cfg).astype(jnp.float32)
 
-    z = ddim.ddim_sample(model_fn, x_T, num_steps=num_steps,
-                         guidance_scale=guidance, sched=sched)
+    if sampler == "dpmpp":
+        from adaprompt_tpu.sampling import dpm
+        z = dpm.dpmpp_sample(model_fn, x_T, num_steps=num_steps,
+                             guidance_scale=guidance, sched=sched)
+    else:
+        z = ddim.ddim_sample(model_fn, x_T, num_steps=num_steps,
+                             guidance_scale=guidance, sched=sched)
     if return_latents:
         return z
     if "vae" in unet_mod._ABLATE:  # ablation stand-in: nearest-upsample decode

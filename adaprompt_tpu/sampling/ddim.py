@@ -54,7 +54,8 @@ def ddim_sample(model_fn: EpsModel, x_T: jax.Array, *,
                 mask: jax.Array | None = None,
                 x0: jax.Array | None = None,
                 noise_key: jax.Array | None = None,
-                use_cfg: bool = True) -> jax.Array:
+                use_cfg: bool = True,
+                timesteps: np.ndarray | None = None) -> jax.Array:
     """Run the full DDIM loop.
 
     Args:
@@ -68,7 +69,9 @@ def ddim_sample(model_fn: EpsModel, x_T: jax.Array, *,
     Returns x_0 latents [B, H, W, C].
     """
     b = x_T.shape[0]
-    ts, alphas, alphas_prev, sigmas = make_ddim_params(sched, num_steps, eta)
+    ts, alphas, alphas_prev, sigmas = make_ddim_params(sched, num_steps, eta,
+                                                       timesteps=timesteps)
+    num_steps = len(ts)
     # reversed order: step i uses index (num_steps-1-i)
     order = np.arange(num_steps)[::-1]
     steps_t = jnp.asarray(ts[order])                 # [S] ddpm timesteps 981..1

@@ -88,10 +88,17 @@ def make_ddim_timesteps(num_ddim_steps: int, num_ddpm_timesteps: int = 1000) -> 
     return (np.arange(0, num_ddim_steps) * c + 1).astype(np.int64)
 
 
-def make_ddim_params(sched: DiffusionSchedule, num_ddim_steps: int, eta: float = 0.0):
+def make_ddim_params(sched: DiffusionSchedule, num_ddim_steps: int,
+                     eta: float = 0.0, timesteps: np.ndarray | None = None):
     """(timesteps, alphas, alphas_prev, sigmas) for the DDIM sampler
-    (util.make_ddim_sampling_parameters)."""
-    ts = make_ddim_timesteps(num_ddim_steps, sched.num_timesteps)
+    (util.make_ddim_sampling_parameters).
+
+    timesteps: optional explicit ascending ddpm-timestep grid overriding
+    the uniform discretization (custom spacings; also lets tests compare
+    samplers over identical integration endpoints — the uniform grid's
+    START point shifts with num_ddim_steps)."""
+    ts = (np.asarray(timesteps, np.int64) if timesteps is not None
+          else make_ddim_timesteps(num_ddim_steps, sched.num_timesteps))
     acp = sched.alphas_cumprod
     alphas = acp[ts]
     alphas_prev = np.concatenate([[acp[0]], acp[ts[:-1]]])

@@ -94,6 +94,31 @@ def main():
         "per_batch": per_batch,
     }
 
+    if os.environ.get("ADAPROMPT_BENCH_DPM", "1") != "0":
+        # auxiliary: DPM-Solver++(2M) at 20 steps — a higher-order solver of
+        # the same ODE whose 20-25 steps match DDIM-50 quality on SD-scale
+        # models (sampling/dpm.py), i.e. the exact-CFG serving throughput
+        # when the step count is chosen per-solver rather than fixed at 50.
+        try:
+            dpm_steps = int(os.environ.get("ADAPROMPT_BENCH_DPM_STEPS", "20"))
+            prompts = ["a portrait photo of a person, detailed,"
+                       " studio lighting"] * (best_batch * n_chips)
+            imgs = pipe.generate(prompts, num_steps=dpm_steps, height=512,
+                                 width=512, seed=0, sampler="dpmpp")
+            np.asarray(imgs)
+            t0 = time.perf_counter()
+            for i in range(n_iters):
+                imgs = pipe.generate(prompts, num_steps=dpm_steps, height=512,
+                                     width=512, seed=i + 1, sampler="dpmpp")
+                np.asarray(imgs)
+            dt = time.perf_counter() - t0
+            dips = (best_batch * n_iters) / dt
+            log(f"bench: dpmpp-{dpm_steps} batch={best_batch} -> "
+                f"{dips:.3f} img/s/chip")
+            result[f"dpmpp{dpm_steps}_img_per_sec"] = round(dips, 4)
+        except Exception as e:  # auxiliary must never lose the headline
+            log(f"bench: dpmpp measurement failed: {e!r}")
+
     if os.environ.get("ADAPROMPT_BENCH_FASTPATH", "1") != "0":
         try:
             from adaprompt_tpu.pipeline import FastConfig

@@ -68,6 +68,26 @@ class AdaFacePipeline:
 
         self._extend_tokenizer_and_text_encoder()
 
+        # faceid -> subject vectors as ONE compiled executable: the chain
+        # (Arc2Face CLIP forward + inverse + SubjBasisGenerator) is ~60
+        # layers of text-encoder compute; op-by-op dispatch dominates the
+        # per-subject personalization latency otherwise. Tokenizer-derived
+        # ids/pads resolve to constants at trace time.
+        def _id_to_subj(a2f_params, sbg_params, faceid, out_scale):
+            _, id_prompt_emb = arc2face.forward_face_embs(
+                a2f_params, self.pipe.tokenizer, faceid,
+                text_cfg=self.arc2face_text_cfg, input_max_length=22)
+            subj_embs, _ = sbg.forward(
+                sbg_params, self.subj_basis_cfg, self.pipe.tokenizer,
+                id_prompt_emb, out_id_embs_scale=out_scale,
+                is_face=True, is_training=False,
+                adaface_prompt_embs_inf_type="full_half_pad")
+            return subj_embs[0, 0]
+
+        # out_scale gates a python-level blend branch -> static (one
+        # compile per distinct scale; in practice a single value)
+        self._jit_id_to_subj = jax.jit(_id_to_subj, static_argnums=(3,))
+
     # -- token table extension (adaface_wrapper.py:152-190) --------------------
 
     def _extend_tokenizer_and_text_encoder(self):
@@ -141,18 +161,12 @@ class AdaFacePipeline:
             faceid = add_noise_keep_norm(k2, faceid, noise_level)
         faceid = faceid / jnp.linalg.norm(faceid, axis=-1, keepdims=True)
 
-        # Arc2Face forward: input_max_length=22 (3 template + 16 ID + BOS/EOS)
-        _, id_prompt_emb = arc2face.forward_face_embs(
-            self.arc2face_text_params, self.pipe.tokenizer, faceid,
-            text_cfg=self.arc2face_text_cfg, input_max_length=22)
-
-        subj_embs, _ = sbg.forward(
-            self.subj_basis_params, self.subj_basis_cfg, self.pipe.tokenizer,
-            id_prompt_emb, out_id_embs_scale=out_id_embs_scale,
-            is_face=True, is_training=False,
-            adaface_prompt_embs_inf_type="full_half_pad")
+        # Arc2Face forward (input_max_length=22: 3 template + 16 ID +
+        # BOS/EOS) + SubjBasisGenerator as one compiled call; result
         # [1, L, 16, 768] -> [16, 768] (num_out_layers -> 1 at inference)
-        subj_embs = subj_embs[0, 0]
+        subj_embs = self._jit_id_to_subj(
+            self.arc2face_text_params, self.subj_basis_params, faceid,
+            float(out_id_embs_scale))
         if update_text_encoder:
             self.update_text_encoder_subj_embs(subj_embs)
         return subj_embs
@@ -169,13 +183,18 @@ class AdaFacePipeline:
     def __call__(self, prompt: str, *, negative_prompt: str | None = None,
                  guidance_scale: float = 4.0, out_image_count: int = 4,
                  num_steps: int | None = None, seed: int = 0,
-                 height: int = 512, width: int = 512) -> np.ndarray:
+                 height: int = 512, width: int = 512,
+                 sampler: str = "ddim") -> np.ndarray:
         """Personalized txt2img (AdaFaceWrapper.forward,
-        adaface_wrapper.py:274-296). Returns uint8 [N, H, W, 3]."""
+        adaface_wrapper.py:274-296). Returns uint8 [N, H, W, 3].
+
+        sampler: "ddim" (reference semantics) or "dpmpp" (DPM-Solver++(2M),
+        sampling/dpm.py — pass num_steps ~20-25 for DDIM-50 quality)."""
         cond, uncond = self.encode_prompt(prompt, negative_prompt)
         cond = jnp.tile(cond, (out_image_count, 1, 1))
         uncond = jnp.tile(uncond, (out_image_count, 1, 1))
         return self.pipe.generate(
             None, context=cond[None], context_uncond=uncond[None],
             num_steps=num_steps or self.num_inference_steps,
-            guidance_scale=guidance_scale, height=height, width=width, seed=seed)
+            guidance_scale=guidance_scale, height=height, width=width,
+            seed=seed, sampler=sampler)

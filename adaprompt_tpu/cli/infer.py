@@ -22,6 +22,10 @@ def parse_args(argv=None):
     p.add_argument("--subject_string", type=str, default="z")
     p.add_argument("--out_image_count", type=int, default=4)
     p.add_argument("--num_steps", type=int, default=50)
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=("ddim", "dpmpp"),
+                   help="dpmpp = DPM-Solver++(2M); ~20-25 steps match "
+                        "DDIM-50 (pass a smaller --num_steps)")
     p.add_argument("--guidance_scale", type=float, default=4.0)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--noise_level", type=float, default=0.0)
@@ -57,7 +61,8 @@ def main(argv=None):
         raise SystemExit("no usable face embeddings extracted")
 
     imgs = ada(args.prompt, guidance_scale=args.guidance_scale,
-               out_image_count=args.out_image_count, seed=args.seed)
+               out_image_count=args.out_image_count, seed=args.seed,
+               sampler=args.sampler)
     paths = common.save_images(imgs, args.outdir)
     print(f"saved {len(paths)} images to {args.outdir}")
     return paths

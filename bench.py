@@ -30,6 +30,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache (same location as cli/common.py): compile time
+# is excluded from the metric (warmup call), so the cache only cuts the
+# warmup cost of repeated bench runs.
+_CACHE_DIR = os.path.expanduser("~/.cache/adaprompt_jax")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 BASELINE_IMGS_PER_SEC = 4.0  # BASELINE.json north-star
 
 
@@ -143,6 +151,48 @@ def main():
                                          "(approximate, opt-in)")
         except Exception as e:  # opt-in extra must never lose the headline
             log(f"bench: fastpath measurement failed: {e!r}")
+
+    if os.environ.get("ADAPROMPT_BENCH_PERSONALIZE", "1") != "0":
+        # auxiliary: p50 per-subject personalization latency (BASELINE.md
+        # "Latency" row — track; no reference number exists). One subject =
+        # 3 photos -> ArcFace ID embed -> Arc2Face forward -> SubjBasis
+        # Generator -> token-table update -> prompt encode, i.e. everything
+        # between "photos in" and "ready to generate" on the product path
+        # (AdaFacePipeline; reference adaface_wrapper.py:207-296). Random
+        # weights run the same compute as trained ones. MUST run last: it
+        # extends the text token table (new shapes).
+        try:
+            from adaprompt_tpu.adaface import subj_basis_generator as sbg
+            from adaprompt_tpu.adaface.wrapper import AdaFacePipeline
+            from adaprompt_tpu.eval.face_eval import FaceSimilarityEvaluator
+            from adaprompt_tpu.models import arcface
+            scfg = sbg.SubjBasisConfig(placeholder_is_bg=False,
+                                       text_cfg=pipe.text_cfg)
+            ada = AdaFacePipeline(
+                pipe, sbg.init_params(jax.random.PRNGKey(1), scfg), scfg,
+                pipe.params.text, pipe.text_cfg,
+                face_embedder=FaceSimilarityEvaluator(
+                    arcface.init_params(jax.random.PRNGKey(2))))
+            rng = np.random.default_rng(0)
+            n_subj = int(os.environ.get("ADAPROMPT_BENCH_SUBJECTS", "9"))
+            lat = []
+            for s in range(n_subj + 1):   # subject 0 = compile warmup
+                photos = [rng.integers(0, 255, (512, 512, 3)).astype(np.uint8)
+                          for _ in range(3)]
+                t0 = time.perf_counter()
+                embs = ada.generate_adaface_embeddings(images_np=photos,
+                                                       seed=s)
+                cond, uncond = ada.encode_prompt("portrait of a z person")
+                np.asarray(cond), np.asarray(uncond), np.asarray(embs)
+                if s > 0:
+                    lat.append(time.perf_counter() - t0)
+            p50 = float(np.percentile(lat, 50)) * 1000.0
+            log(f"bench: personalization latency over {n_subj} subjects: "
+                f"p50={p50:.0f} ms (min {min(lat)*1e3:.0f} / "
+                f"max {max(lat)*1e3:.0f})")
+            result["personalize_p50_ms"] = round(p50, 1)
+        except Exception as e:  # auxiliary must never lose the headline
+            log(f"bench: personalization latency measurement failed: {e!r}")
 
     print(json.dumps(result))
 

@@ -136,3 +136,9 @@ def test_adaface_pipeline_product_path(tmp_path_factory):
                height=64, width=64)
     assert imgs.shape == (2, 64, 64, 3)
     assert imgs.std() > 0
+
+    # the higher-order sampler threads through the product API
+    imgs2 = ada("portrait of z in the park", out_image_count=2, num_steps=2,
+                height=64, width=64, sampler="dpmpp")
+    assert imgs2.shape == (2, 64, 64, 3)
+    assert imgs2.std() > 0

@@ -58,8 +58,12 @@ _LOG2E = 1.4426950408889634
 # Mosaic's default scoped-VMEM budget is 16MB — a compiler default, not a
 # hardware cap (v5e has 128MB physical VMEM). The flash kernels keep K/V
 # resident across q blocks plus a [block_q, seq_k] fp32 score tile, so
-# block_q > 256 at seq 4096 needs the raised budget.
-_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20)
+# block_q > 256 at seq 4096 needs the raised budget. The 64MB default here
+# is tuned for v5e; on a smaller-VMEM TPU generation where the raised
+# budget fails to compile, lower it via ADAPROMPT_FLASH_VMEM_MB (e.g. 16)
+# — block sizes scale down with it below.
+_VMEM_MB = int(os.environ.get("ADAPROMPT_FLASH_VMEM_MB", "64"))
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_MB * 2 ** 20)
 # backward grid block targets (tools/flash_bwd_probe.py --sweep A/Bs these
 # under the raised VMEM budget)
 _BWD_BLOCK_Q = 256
@@ -352,7 +356,9 @@ def _flash_fwd_impl(q, k, v, bias, scale, *, interpret=False, nomax=None):
     # block_q 1024 needs the raised scoped-VMEM budget (_VMEM_LIMIT) for its
     # [1024, seq_k] fp32 score tile; swept best at the UNet shapes
     # (tools/attn_sweep.py round 3: 4.86 ms at bq=256 -> 4.65 at bq=1024).
-    block_q = _pick_block(sq, 1024)
+    # Under a lowered ADAPROMPT_FLASH_VMEM_MB the q-block target shrinks
+    # proportionally (64MB -> 1024, 16MB -> 256 == the old defaults).
+    block_q = _pick_block(sq, max(256, 1024 * _VMEM_MB // 64))
     block_k = _pick_block(sk, 4096)
 
     bias_spec = (pl.BlockSpec((None, 1, sk), lambda i, j: (i // h, 0, 0))

@@ -129,10 +129,22 @@ def conv3x3_im2col(x: jax.Array, kernel: jax.Array, bias: jax.Array,
     th = min(tile_h, h)
     while th > 1 and h % th:
         th //= 2
-    # patches tile (th*w, 9cp) bf16 + input tile + fp32 acc must fit the
-    # scoped-VMEM budget with ~2x headroom for Mosaic's own temporaries
+    # patches tile (th*w, 9cp) bf16 + the (th+2, wpad, cp) bf16 input tile
+    # + the fp32 (th*w, ot) accumulator must fit the scoped-VMEM budget,
+    # kept to half for Mosaic's own temporaries. The accumulator is bounded
+    # with the largest ot the selection below can pick (ot <= out_tile,
+    # rounded to 128). The guard is still approximate — callers sweeping
+    # unusual shapes should catch Mosaic compile failures (as i2c_sweep
+    # does); this kernel is off by default (closed negative, docs/PERF.md).
     budget = vmem_limit_mb * 2 ** 20 // 2
-    while th > 1 and th * w * 9 * cp * 2 > budget:
+    ot_bound = min(op, max(128, (int(out_tile) // 128) * 128))
+
+    def _tile_bytes(t):
+        return (t * w * 9 * cp * 2              # bf16 patches tile
+                + (t + 2) * wpad * cp * 2       # bf16 input tile
+                + t * w * ot_bound * 4)         # fp32 accumulator
+
+    while th > 1 and _tile_bytes(th) > budget:
         th //= 2
     # largest 128-multiple divisor of op that is <= out_tile and keeps the
     # weight block within a quarter of the budget

@@ -202,13 +202,12 @@ class StableDiffusionPipeline:
         `sampler`: "ddim" (reference semantics, default) or "dpmpp"
         (DPM-Solver++(2M), sampling/dpm.py — a higher-order solver of the
         same ODE; ~20-25 steps match DDIM-50 quality, so pass a smaller
-        num_steps). The fast path supports DDIM only.
+        num_steps). `fast` composes with either sampler; fast + dpmpp-20
+        (+ quant="int8" at construction) is the composed serving stack
+        measured in docs/PERF.md.
         """
         if sampler not in ("ddim", "dpmpp"):
             raise ValueError(f"unknown sampler {sampler!r}")
-        if fast is not None and sampler != "ddim":
-            raise ValueError("FastConfig accelerations support the DDIM "
-                             "sampler only")
         if context is None:
             cond = self.encode_prompt(prompts, skip_weights)[None]  # [1,B,77,768]
         else:
@@ -231,7 +230,7 @@ class StableDiffusionPipeline:
                                      uncond, x_T, num_steps,
                                      _as_pair(guidance_scale), return_latents,
                                      fast, self.unet_cfg, self.vae_cfg,
-                                     self.sched, self.compute_dtype)
+                                     self.sched, self.compute_dtype, sampler)
         else:
             out = _generate_jit(self.params.unet, self.params.vae, cond, uncond,
                                 x_T, num_steps, _as_pair(guidance_scale),
@@ -300,12 +299,13 @@ def _generate_jit(unet_params, vae_params, cond, uncond, x_T,
     return jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
 def _generate_fast_jit(unet_params, vae_params, cond, uncond, x_T,
                        num_steps, guidance, return_latents, fast,
-                       unet_cfg, vae_cfg, sched, dt):
+                       unet_cfg, vae_cfg, sched, dt, sampler="ddim"):
     """The FastConfig serving path: ToMe + DeepCache + CFG-tail truncation
-    (see FastConfig / ddim.ddim_sample_fast). Approximate — opt-in only."""
+    (see FastConfig / sampling/fastloop.py) under either solver.
+    Approximate — opt-in only."""
     ucfg = dataclasses.replace(unet_cfg, tome_ratio=fast.tome_ratio,
                                tome_mlp=fast.tome_mlp)
     ctx = jnp.concatenate([cond, uncond], axis=1).astype(dt)  # [L, 2B, 77, D]
@@ -334,10 +334,19 @@ def _generate_fast_jit(unet_params, vae_params, cond, uncond, x_T,
                                   cfg=ucfg)
         return eps.astype(jnp.float32)
 
-    z = ddim.ddim_sample_fast(model_full, model_shallow, x_T,
-                              num_steps=num_steps, guidance_scale=guidance,
-                              sched=sched, cache_interval=fast.cache_interval,
-                              cfg_tail_frac=fast.cfg_tail_frac)
+    if sampler == "dpmpp":
+        from adaprompt_tpu.sampling import dpm
+        z = dpm.dpmpp_sample_fast(model_full, model_shallow, x_T,
+                                  num_steps=num_steps,
+                                  guidance_scale=guidance, sched=sched,
+                                  cache_interval=fast.cache_interval,
+                                  cfg_tail_frac=fast.cfg_tail_frac)
+    else:
+        z = ddim.ddim_sample_fast(model_full, model_shallow, x_T,
+                                  num_steps=num_steps,
+                                  guidance_scale=guidance, sched=sched,
+                                  cache_interval=fast.cache_interval,
+                                  cfg_tail_frac=fast.cfg_tail_frac)
     if return_latents:
         return z
     img = vae_mod.decode(vae_params, (z / 0.18215).astype(dt), cfg=vae_cfg)

@@ -140,7 +140,8 @@ def ddim_sample_fast(model_full, model_shallow, x_T: jax.Array, *,
     Returns x_0 latents [B, H, W, C] (eta=0; no inpainting mask support on
     the fast path — use ddim_sample for those).
     """
-    b = x_T.shape[0]
+    from adaprompt_tpu.sampling.fastloop import fast_cached_loop
+
     ts, alphas, alphas_prev, _ = make_ddim_params(sched, num_steps)
     order = np.arange(num_steps)[::-1]
     g_all = guidance_schedule(num_steps, guidance_scale)
@@ -152,80 +153,17 @@ def ddim_sample_fast(model_full, model_shallow, x_T: jax.Array, *,
         g_all = g_all.copy()
         g_all[n_cfg:] = 1.0
 
-    arrs = (jnp.asarray(ts[order]), jnp.asarray(alphas[order]),
-            jnp.asarray(alphas_prev[order]), jnp.asarray(g_all))
+    arrs = (jnp.asarray(ts[order]), jnp.asarray(g_all),
+            jnp.asarray(alphas[order]), jnp.asarray(alphas_prev[order]))
 
-    def x_update(x, e_t, at, aprev):
+    def update(carry, e_t, ps):
+        (x,) = carry
+        _, _, at, aprev = ps
         pred_x0 = (x - jnp.sqrt(1.0 - at) * e_t) / jnp.sqrt(at)
-        return jnp.sqrt(aprev) * pred_x0 + jnp.sqrt(1.0 - aprev) * e_t
+        return (jnp.sqrt(aprev) * pred_x0 + jnp.sqrt(1.0 - aprev) * e_t,)
 
-    def full_step(x, ps, use_cfg):
-        t, at, aprev, g = ps
-        tb = jnp.full((b,), t, dtype=jnp.int32)
-        if use_cfg:
-            e_all, cache = model_full(jnp.concatenate([x, x], 0),
-                                      jnp.concatenate([tb, tb], 0))
-            e_c, e_u = jnp.split(e_all, 2, axis=0)
-            e_t = e_u + g.astype(x.dtype) * (e_c - e_u)
-        else:
-            e_t, cache = model_full(x, tb)
-        return x_update(x, e_t, at, aprev), cache
-
-    def shallow_step(x, cache, ps, use_cfg):
-        t, at, aprev, g = ps
-        tb = jnp.full((b,), t, dtype=jnp.int32)
-        if use_cfg:
-            e_all = model_shallow(jnp.concatenate([x, x], 0),
-                                  jnp.concatenate([tb, tb], 0), cache)
-            e_c, e_u = jnp.split(e_all, 2, axis=0)
-            e_t = e_u + g.astype(x.dtype) * (e_c - e_u)
-        else:
-            e_t = model_shallow(x, tb, cache)
-        return x_update(x, e_t, at, aprev)
-
-    def segment(x, seg_arrs, use_cfg):
-        n = int(seg_arrs[0].shape[0])
-        if n == 0:
-            return x
-        interval = max(int(cache_interval), 1)
-        g_cnt, rem = divmod(n, interval)
-
-        def shallow_body(carry, ps):
-            xx, cache = carry
-            xx = shallow_step(xx, cache, ps, use_cfg)
-            return (xx, cache), None
-
-        if g_cnt == 0:
-            # fewer steps than one group: full then shallow via scan
-            first = tuple(a[0] for a in seg_arrs)
-            x, cache = full_step(x, first, use_cfg)
-            (x, _), _ = jax.lax.scan(shallow_body, (x, cache),
-                                     tuple(a[1:] for a in seg_arrs))
-            return x
-
-        head = tuple(a[:g_cnt * interval].reshape(g_cnt, interval, *a.shape[1:])
-                     for a in seg_arrs)
-        cache0 = jax.eval_shape(
-            lambda xx: full_step(xx, tuple(a[0] for a in seg_arrs), use_cfg),
-            x)[1]
-        cache0 = jnp.zeros(cache0.shape, cache0.dtype)
-
-        def group_body(carry, grp):
-            xx, _ = carry
-            first = tuple(a[0] for a in grp)
-            xx, cache = full_step(xx, first, use_cfg)
-            (xx, cache), _ = jax.lax.scan(shallow_body, (xx, cache),
-                                          tuple(a[1:] for a in grp))
-            return (xx, cache), None
-
-        (x, cache), _ = jax.lax.scan(group_body, (x, cache0), head)
-        if rem:
-            (x, _), _ = jax.lax.scan(shallow_body, (x, cache),
-                                     tuple(a[g_cnt * interval:] for a in seg_arrs))
-        return x
-
-    x = segment(x_T, tuple(a[:n_cfg] for a in arrs), use_cfg=True)
-    x = segment(x, tuple(a[n_cfg:] for a in arrs), use_cfg=False)
+    (x,) = fast_cached_loop(model_full, model_shallow, (x_T,), arrs, update,
+                            cache_interval=cache_interval, n_cfg=n_cfg)
     return x
 
 

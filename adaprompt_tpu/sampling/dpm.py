@@ -24,9 +24,12 @@ of the PF-ODE from s to t is
 h = lambda_t - lambda_s, where X0 is a k-th order polynomial extrapolation
 of the data prediction x0(lambda). 2M uses the previous step's x0:
     r = h_{prev}/h,  X0 = (1 + 1/(2r)) x0_i - 1/(2r) x0_{i-1}.
-The first step (no history) and the final step (lower_order_final, the
-standard stabilization for small step counts) run first order, which is
-ALGEBRAICALLY IDENTICAL to a deterministic DDIM step — tested invariant.
+The first step (no history) runs first order, which is ALGEBRAICALLY
+IDENTICAL to a deterministic DDIM step — tested invariant. The final step
+also drops to first order when num_steps < 15 (lower_order_final, the
+standard small-step-count stabilization — same gate as diffusers'
+DPMSolverMultistepScheduler); at serving step counts (>= 15) the last
+step stays second order.
 """
 
 from __future__ import annotations
@@ -98,8 +101,10 @@ def dpmpp_sample(model_fn: EpsModel, x_T: jax.Array, *,
             r = h_prev / hi
             x0_2m = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
             # first step has no history; final step runs first order
-            # (lower_order_final) for small-step stability
-            lower = jnp.logical_or(i == 0, i == num_steps - 1)
+            # (lower_order_final) only at small step counts — see module doc
+            lower = i == 0
+            if num_steps < 15:
+                lower = jnp.logical_or(lower, i == num_steps - 1)
             x0_hat = jnp.where(lower, x0, x0_2m)
         else:
             x0_hat = x0
@@ -108,4 +113,77 @@ def dpmpp_sample(model_fn: EpsModel, x_T: jax.Array, *,
 
     init = (x_T, jnp.zeros_like(x_T), jnp.float32(1.0))
     (x, _, _), _ = jax.lax.scan(step, init, per_step)
+    return x
+
+
+def dpmpp_sample_fast(model_full, model_shallow, x_T: jax.Array, *,
+                      num_steps: int = 20,
+                      guidance_scale=(4.0, 1.0),
+                      sched: DiffusionSchedule = SD15_SCHEDULE,
+                      cache_interval: int = 1,
+                      cfg_tail_frac: float = 0.0) -> jax.Array:
+    """DPM-Solver++(2M) under the serving fast paths — the composed TPU
+    serving stack: the 2.5x step-count reduction of the 2M solver TIMES the
+    DeepCache / CFG-tail / (UNet-level ToMe) accelerations of
+    sampling/fastloop.py. With cache_interval=1 and cfg_tail_frac=0 this is
+    exactly `dpmpp_sample` (tested invariant).
+
+    Same model contract as ddim.ddim_sample_fast: model_full returns
+    (eps, deep_cache) and accepts both the doubled CFG batch and the plain
+    batch; model_shallow resumes from the cache. Approximate — opt-in only
+    (pipeline.FastConfig + sampler="dpmpp").
+
+    Note on the 2M history: the x0 extrapolation uses whatever the previous
+    step's eps was — a shallow-pass eps on cached steps, a cond-only eps in
+    the CFG tail. Both carry straight through the solver state; the drift
+    they add is measured per preset in docs/PERF.md.
+    """
+    from adaprompt_tpu.sampling.fastloop import fast_cached_loop
+
+    ts, alphas, alphas_prev, _ = make_ddim_params(sched, num_steps)
+    num_steps = len(ts)
+    order = np.arange(num_steps)[::-1]
+    ts, alphas, alphas_prev = ts[order], alphas[order], alphas_prev[order]
+
+    a_s = np.sqrt(alphas)
+    s_s = np.sqrt(1.0 - alphas)
+    a_t = np.sqrt(alphas_prev)
+    s_t = np.sqrt(1.0 - alphas_prev)
+    lam_s = np.log(a_s / s_s)
+    lam_t = np.log(a_t / s_t)
+    h = (lam_t - lam_s).astype(np.float32)
+
+    g_all = guidance_schedule(num_steps, guidance_scale)
+    n_cfg = int(round(num_steps * (1.0 - cfg_tail_frac)))
+    n_cfg = max(min(n_cfg, num_steps), 0)
+    if cfg_tail_frac > 0:
+        g_all = g_all.copy()
+        g_all[n_cfg:] = 1.0
+
+    # first-order (DDIM-equal) steps: step 0 (no history) and, at small
+    # step counts, the final step (lower_order_final — see dpmpp_sample)
+    lower = np.zeros(num_steps, bool)
+    lower[0] = True
+    if num_steps < 15:
+        lower[-1] = True
+
+    arrs = (jnp.asarray(ts), jnp.asarray(g_all),
+            jnp.asarray(a_s, jnp.float32), jnp.asarray(s_s, jnp.float32),
+            jnp.asarray(a_t, jnp.float32), jnp.asarray(s_t, jnp.float32),
+            jnp.asarray(h), jnp.asarray(lower))
+
+    def update(carry, e_t, ps):
+        x, x0_prev, h_prev = carry
+        _, _, as_, ss_, at_, st_, hi, low = ps
+        x0 = (x - ss_ * e_t) / as_
+        r = h_prev / hi
+        x0_2m = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
+        x0_hat = jnp.where(low, x0, x0_2m)
+        x_next = (st_ / ss_) * x - at_ * (jnp.exp(-hi) - 1.0) * x0_hat
+        return (x_next, x0, hi)
+
+    init = (x_T, jnp.zeros_like(x_T), jnp.float32(1.0))
+    (x, _, _) = fast_cached_loop(model_full, model_shallow, init, arrs,
+                                 update, cache_interval=cache_interval,
+                                 n_cfg=n_cfg)
     return x

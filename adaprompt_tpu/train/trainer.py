@@ -628,9 +628,12 @@ class AdaPromptTrainer:
                                        core_id, is_training=True)
             std = batch.get("emb_noise_std")
             if std is not None:
+                # noise_key is REQUIRED whenever emb_noise_std is present: a
+                # fixed fallback key would silently reuse identical embedding
+                # noise every iteration (the filter path omits emb_noise_std
+                # entirely, so it never reaches here)
                 subj_embs = cond_mod.add_noise_to_tensor(
-                    subj_embs, jax.random.PRNGKey(0) if batch.get("noise_key")
-                    is None else batch["noise_key"], std)
+                    subj_embs, batch["noise_key"], std)
             subj_embs = apply_emb_scale(subj_embs, trainable, batch, 0)
             # subj-single embeddings (row 0) are a 0.9 frozen / 0.1 live
             # blend in compos iters (embedding_manager.py:1472-1502)
@@ -1011,20 +1014,31 @@ class AdaPromptTrainer:
         if faceid is None:
             faceid = self.rng.standard_normal((1, 512)).astype(np.float32)
             faceid /= np.linalg.norm(faceid, axis=-1, keepdims=True)
-        params = pl.SDParams(unet=self.frozen.unet, vae=self.vae_params,
-                             text=self.frozen.text)
-        pipe = pl.StableDiffusionPipeline(
-            params, tokenizer=self.tokenizer, unet_cfg=self.frozen.unet_cfg,
-            vae_cfg=self.vae_cfg, text_cfg=self.frozen.text_cfg,
-            compute_dtype=self.dtype)
+        # built once and cached: the frozen SD params never change during
+        # training, and holding one pipeline (plus one PromptConditioner
+        # below) keeps every ImageLogger event on the same jit cache entry —
+        # one sampler compile per run, not per event
+        pipe = getattr(self, "_sample_pipe", None)
+        if pipe is None:
+            params = pl.SDParams(unet=self.frozen.unet, vae=self.vae_params,
+                                 text=self.frozen.text)
+            pipe = pl.StableDiffusionPipeline(
+                params, tokenizer=self.tokenizer,
+                unet_cfg=self.frozen.unet_cfg, vae_cfg=self.vae_cfg,
+                text_cfg=self.frozen.text_cfg, compute_dtype=self.dtype)
+            self._sample_pipe = pipe
         _, core_id = a2f_mod.forward_face_embs(
             self.frozen.arc2face_text, self.tokenizer, jnp.asarray(faceid),
             text_cfg=self.frozen.arc2face_text_cfg, input_max_length=21)
         subj_embs, _ = sbg.forward(self.state.params["subj_basis"],
                                    self.subj_basis_cfg, self.tokenizer,
                                    core_id, is_training=False)
-        pc = cond_mod2.PromptConditioner(self.frozen.text, self.tokenizer,
-                                         [self.subject_spec], self.frozen.text_cfg)
+        pc = getattr(self, "_sample_pc", None)
+        if pc is None:
+            pc = cond_mod2.PromptConditioner(self.frozen.text, self.tokenizer,
+                                             [self.subject_spec],
+                                             self.frozen.text_cfg)
+            self._sample_pc = pc
         cond = pc([prompt] * n, {self.subject_spec.string: subj_embs})
         uncond = pc([pl.DEFAULT_NEGATIVE_PROMPT] * n, {})
         imgs = pipe.generate(None, context=cond, context_uncond=uncond,

@@ -159,18 +159,29 @@ def main():
         # Generator -> token-table update -> prompt encode, i.e. everything
         # between "photos in" and "ready to generate" on the product path
         # (AdaFacePipeline; reference adaface_wrapper.py:207-296). Random
-        # weights run the same compute as trained ones. MUST run last: it
-        # extends the text token table (new shapes).
+        # weights run the same compute as trained ones. Runs on an ISOLATED
+        # pipeline copy (fresh tokenizer + copied text-param dict sharing
+        # the unet/vae arrays): AdaFacePipeline permanently extends the
+        # tokenizer/token table, and the shared bench pipe must stay
+        # unmutated for any metric added after this one.
         try:
             from adaprompt_tpu.adaface import subj_basis_generator as sbg
             from adaprompt_tpu.adaface.wrapper import AdaFacePipeline
             from adaprompt_tpu.eval.face_eval import FaceSimilarityEvaluator
             from adaprompt_tpu.models import arcface
+            from adaprompt_tpu.pipeline import SDParams, StableDiffusionPipeline
+            from adaprompt_tpu.utils.tokenizer import CLIPTokenizer
+            iso = StableDiffusionPipeline(
+                SDParams(unet=pipe.params.unet, vae=pipe.params.vae,
+                         text=dict(pipe.params.text)),
+                tokenizer=CLIPTokenizer.load(), unet_cfg=pipe.unet_cfg,
+                vae_cfg=pipe.vae_cfg, text_cfg=pipe.text_cfg,
+                compute_dtype=pipe.compute_dtype)
             scfg = sbg.SubjBasisConfig(placeholder_is_bg=False,
-                                       text_cfg=pipe.text_cfg)
+                                       text_cfg=iso.text_cfg)
             ada = AdaFacePipeline(
-                pipe, sbg.init_params(jax.random.PRNGKey(1), scfg), scfg,
-                pipe.params.text, pipe.text_cfg,
+                iso, sbg.init_params(jax.random.PRNGKey(1), scfg), scfg,
+                iso.params.text, iso.text_cfg,
                 face_embedder=FaceSimilarityEvaluator(
                     arcface.init_params(jax.random.PRNGKey(2))))
             rng = np.random.default_rng(0)

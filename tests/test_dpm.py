@@ -98,11 +98,155 @@ def test_pipeline_dpmpp_generate():
     assert imgs.shape == (1, 64, 64, 3)
     assert imgs.dtype == np.uint8
     assert imgs.std() > 0
-    # unknown sampler / fast+dpmpp must be rejected
+    # unknown sampler must be rejected
     with pytest.raises(ValueError):
         pipe.generate(["x"], num_steps=2, sampler="plms",
                       height=64, width=64)
+
+
+# ---------------------------------------------------------------------------
+# dpmpp_sample_fast — the composed serving stack (sampling/fastloop.py)
+# ---------------------------------------------------------------------------
+
+def _fake_full(x, t):
+    """Fake eps model with a cond/uncond asymmetry and a deep cache, shared
+    shape-contract with the pipeline's model_full (see test_fastpath)."""
+    n = x.shape[0]
+    n_cond = 2 if n == 4 else n
+    s = jnp.where(jnp.arange(n) < n_cond, 1.0, -1.0).astype(jnp.float32)
+    s = s.reshape(-1, 1, 1, 1)
+    eps = 0.05 * x + 0.001 * t.reshape(-1, 1, 1, 1).astype(jnp.float32) + 0.03 * s
+    return eps, 0.5 * x
+
+
+def _fake_shallow(x, t, cache):
+    n = x.shape[0]
+    n_cond = 2 if n == 4 else n
+    s = jnp.where(jnp.arange(n) < n_cond, 1.0, -1.0).astype(jnp.float32)
+    s = s.reshape(-1, 1, 1, 1)
+    return (0.05 * x + 0.001 * t.reshape(-1, 1, 1, 1).astype(jnp.float32)
+            + 0.03 * s + 0.02 * cache)
+
+
+def test_dpmpp_fast_disabled_matches_exact():
+    """cache_interval=1 + tail=0 must reproduce dpmpp_sample bit-for-bit
+    (same ops, same order — only the loop driver differs)."""
+    rng = np.random.default_rng(0)
+    x_T = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    for steps in (8, 20):   # crosses the lower_order_final gate at 15
+        exact = dpm.dpmpp_sample(lambda x, t: _fake_full(x, t)[0], x_T,
+                                 num_steps=steps, guidance_scale=(4.0, 1.0))
+        fast = dpm.dpmpp_sample_fast(_fake_full, _fake_shallow, x_T,
+                                     num_steps=steps,
+                                     guidance_scale=(4.0, 1.0),
+                                     cache_interval=1, cfg_tail_frac=0.0)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def _oracle_dpm_fast(x_T, steps, guidance, interval, tail_frac):
+    """Python-loop replica of dpmpp_sample_fast: 2M update + the fastloop
+    full/shallow/CFG-tail step structure."""
+    from adaprompt_tpu.sampling.schedule import SD15_SCHEDULE, make_ddim_params
+    _B = 2
+    ts, alphas, aprev, _ = make_ddim_params(SD15_SCHEDULE, steps)
+    order = np.arange(steps)[::-1]
+    ts, alphas, aprev = ts[order], alphas[order], aprev[order]
+    a_s = np.sqrt(alphas).astype(np.float32)
+    s_s = np.sqrt(1.0 - alphas).astype(np.float32)
+    a_t = np.sqrt(aprev).astype(np.float32)
+    s_t = np.sqrt(1.0 - aprev).astype(np.float32)
+    h = (np.log(a_t / s_t) - np.log(a_s / s_s)).astype(np.float32)
+    g = ddim.guidance_schedule(steps, guidance).copy()
+    n_cfg = max(min(int(round(steps * (1.0 - tail_frac))), steps), 0)
+    if tail_frac > 0:
+        g[n_cfg:] = 1.0
+
+    def full(xx, tt):
+        s = np.where(np.arange(xx.shape[0]) < (_B if xx.shape[0] == 2 * _B else xx.shape[0]),
+                     1.0, -1.0).astype(np.float32).reshape(-1, 1, 1, 1)
+        return (0.05 * xx + 0.001 * np.float32(tt) + 0.03 * s,
+                np.float32(0.5) * xx)
+
+    def shallow(xx, tt, cache):
+        s = np.where(np.arange(xx.shape[0]) < (_B if xx.shape[0] == 2 * _B else xx.shape[0]),
+                     1.0, -1.0).astype(np.float32).reshape(-1, 1, 1, 1)
+        return (0.05 * xx + 0.001 * np.float32(tt) + 0.03 * s
+                + np.float32(0.02) * cache)
+
+    x = np.asarray(x_T, np.float32)
+    x0_prev, h_prev = np.zeros_like(x), np.float32(1.0)
+
+    def seg(state, idxs, use_cfg):
+        x, x0_prev, h_prev = state
+        n = len(idxs)
+        if n == 0:
+            return state
+        g_cnt, _rem = divmod(n, max(int(interval), 1))
+        cache = None
+        for j, i in enumerate(idxs):
+            is_full = ((g_cnt == 0 and j == 0)
+                       or (g_cnt > 0 and j < g_cnt * interval
+                           and j % interval == 0))
+            xin = np.concatenate([x, x], 0) if use_cfg else x
+            if is_full:
+                e_all, cache = full(xin, ts[i])
+            else:
+                e_all = shallow(xin, ts[i], cache)
+            if use_cfg:
+                e_c, e_u = np.split(e_all, 2, axis=0)
+                e_t = e_u + np.float32(g[i]) * (e_c - e_u)
+            else:
+                e_t = e_all
+            x0 = (x - s_s[i] * e_t) / a_s[i]
+            lower = i == 0 or (steps < 15 and i == steps - 1)
+            if lower:
+                x0_hat = x0
+            else:
+                r = h_prev / h[i]
+                x0_hat = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
+            x = (s_t[i] / s_s[i]) * x - a_t[i] * (np.exp(-h[i]) - 1.0) * x0_hat
+            x0_prev, h_prev = x0, h[i]
+        return x, x0_prev, h_prev
+
+    state = seg((x, x0_prev, h_prev), list(range(n_cfg)), True)
+    state = seg(state, list(range(n_cfg, steps)), False)
+    return state[0]
+
+
+@pytest.mark.parametrize("steps,interval,tail", [
+    (20, 3, 0.3),   # serving shape: both segments, remainders, 2M active
+    (10, 3, 0.3),   # small-step: lower_order_final active on last step
+    (7, 4, 0.5),    # g_cnt==0 path in the tail segment
+    (6, 2, 0.0),    # no tail segment
+])
+def test_dpmpp_fast_matches_python_oracle(steps, interval, tail):
+    rng = np.random.default_rng(steps * 100 + interval)
+    x_T = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+    got = dpm.dpmpp_sample_fast(_fake_full, _fake_shallow, jnp.asarray(x_T),
+                                num_steps=steps, guidance_scale=(4.0, 1.0),
+                                cache_interval=interval, cfg_tail_frac=tail)
+    want = _oracle_dpm_fast(x_T, steps, (4.0, 1.0), interval, tail)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_pipeline_fast_dpmpp_e2e():
+    """The composed serving stack end-to-end on the tiny pipeline:
+    dpmpp + DeepCache + CFG-tail in one jitted graph."""
+    from tests.test_pipeline import tiny_pipeline
     from adaprompt_tpu.pipeline import FastConfig
-    with pytest.raises(ValueError):
-        pipe.generate(["x"], num_steps=2, sampler="dpmpp",
-                      fast=FastConfig(cache_interval=2), height=64, width=64)
+    pipe = tiny_pipeline()
+    fast = FastConfig(tome_ratio=0.0, cache_interval=2, cache_depth=2,
+                      cfg_tail_frac=0.3)
+    imgs = pipe.generate(["a photo of a cat"], num_steps=6, height=64,
+                         width=64, seed=1, fast=fast, sampler="dpmpp")
+    assert imgs.shape == (1, 64, 64, 3) and imgs.dtype == np.uint8
+    assert imgs.std() > 0
+    # disabled fast config under dpmpp == exact dpmpp
+    noop = FastConfig(tome_ratio=0.0, cache_interval=1, cache_depth=1,
+                      cfg_tail_frac=0.0)
+    a = pipe.generate(["a cat"], num_steps=4, height=64, width=64, seed=2,
+                      sampler="dpmpp")
+    b = pipe.generate(["a cat"], num_steps=4, height=64, width=64, seed=2,
+                      sampler="dpmpp", fast=noop)
+    np.testing.assert_allclose(a.astype(np.int32), b.astype(np.int32), atol=1)

@@ -4,16 +4,25 @@ Must run before any backend initialization. The container's sitecustomize
 registers the axon TPU plugin at interpreter start, so we both point
 JAX_PLATFORMS at cpu via jax.config (the env var is overridden by the
 plugin) and request 8 virtual host devices for sharding tests.
+
+ADAPROMPT_TEST_PLATFORM=tpu leaves the backend alone (real accelerator) —
+used ONLY for the asset-gated real-weight fidelity tier
+(tests/test_real_weights.py), whose full-size fp32 DDIM chain is not
+CPU-sized. The regular suite always runs on the virtual CPU mesh.
 """
 
 import os
 
-os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-os.environ["JAX_PLATFORMS"] = "cpu"
+_PLATFORM = os.environ.get("ADAPROMPT_TEST_PLATFORM", "cpu")
+
+if _PLATFORM == "cpu":
+    os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import pytest  # noqa: E402
@@ -21,6 +30,8 @@ import pytest  # noqa: E402
 
 @pytest.fixture(scope="session", autouse=True)
 def _assert_cpu_mesh():
+    if _PLATFORM != "cpu":
+        return
     devs = jax.devices()
     assert devs[0].platform == "cpu", devs
     assert len(devs) == 8, devs

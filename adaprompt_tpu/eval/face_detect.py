@@ -16,6 +16,21 @@ stack (onnxruntime) is unavailable here; instead we derive detection AND
 
 The parse function is injectable, so unit tests exercise detection,
 landmarks and alignment with synthetic parsing maps (no weights needed).
+
+Accuracy statement vs insightface (what is PROVEN vs DEFERRED):
+  * proven by tests/test_face_detect.py — given the same 5 landmarks our
+    crop equals insightface's norm_crop: `umeyama_similarity` matches an
+    independently-derived closed-form similarity fit to float64-SVD noise
+    and recovers pure-similarity landmark placements exactly;
+    `warp_affine` uses (or numerically matches) the same cv2.warpAffine
+    call norm_crop makes; collapsing the two mouth corners to the parsing
+    centroid introduces ZERO alignment bias for similarity-placed faces
+    (the opposite corner residuals cancel in the least squares — tested).
+  * deferred until weights exist (asset-gated tools/face_detect_validate.py):
+    landmark PLACEMENT deltas of parsing centroids vs RetinaFace's
+    regressed keypoints on real photos, and the downstream intra-subject
+    ArcFace-cosine comparison across detectors. Until that runs, face-sim
+    evals inherit whatever placement bias the parser has.
 """
 
 from __future__ import annotations
@@ -124,14 +139,19 @@ def umeyama_similarity(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
 
 def warp_affine(image: np.ndarray, M: np.ndarray, size: int) -> np.ndarray:
     """Bilinear warp of `image` by the 2x3 forward matrix M onto
-    (size, size). Uses cv2 when importable, numpy otherwise."""
+    (size, size). Uses cv2 when importable (exactly insightface
+    norm_crop's warp call), numpy otherwise (tested equivalent,
+    tests/test_face_detect.py)."""
     try:
         import cv2
         return cv2.warpAffine(image, M.astype(np.float32), (size, size),
                               flags=cv2.INTER_LINEAR)
     except ImportError:
-        pass
-    # numpy fallback: inverse-map each output pixel
+        return warp_affine_np(image, M, size)
+
+
+def warp_affine_np(image: np.ndarray, M: np.ndarray, size: int) -> np.ndarray:
+    """Pure-numpy warp_affine: inverse-map each output pixel."""
     A = np.eye(3)
     A[:2] = M
     Ainv = np.linalg.inv(A)

@@ -116,3 +116,115 @@ def test_make_detector_spec_default_center_crop(monkeypatch):
     assert face_eval.make_detector(None) is None
     with pytest.raises(ValueError):
         face_eval.make_detector("retina:whatever")
+
+
+# ---------------------------------------------------------------------------
+# insightface norm_crop semantics (VERDICT r3 #6)
+#
+# The reference's detection/alignment is insightface FaceAnalysis
+# (adaface/util.py:242-341): RetinaFace 5-point landmarks ->
+# face_align.norm_crop = skimage SimilarityTransform (Umeyama 1991) fitted
+# onto the arcface_dst 112x112 template + cv2.warpAffine. Given the SAME
+# five landmarks, our umeyama_similarity + warp_affine must therefore be
+# numerically indistinguishable from insightface's crop. These tests pin
+# that equivalence with an INDEPENDENT closed-form similarity fit and
+# cv2's own warp; what they cannot pin (RetinaFace-vs-parsing landmark
+# placement on real photos) is measured by tools/face_detect_validate.py
+# the day BiSeNet/ArcFace weights exist.
+# ---------------------------------------------------------------------------
+
+def _similarity_fit_complex(src, dst):
+    """Independent reference: 2D similarity least squares in complex form.
+    dst ~ a*src + b over C minimizing sum |a s_i + b - d_i|^2 — a different
+    derivation than Umeyama's SVD (valid when no reflection is needed)."""
+    s = src[:, 0] + 1j * src[:, 1]
+    d = dst[:, 0] + 1j * dst[:, 1]
+    s0, d0 = s - s.mean(), d - d.mean()
+    a = np.vdot(s0, d0) / np.vdot(s0, s0)
+    b = d.mean() - a * s.mean()
+    return np.array([[a.real, -a.imag, b.real],
+                     [a.imag, a.real, b.imag]])
+
+
+def test_umeyama_matches_independent_similarity_fit():
+    """On noisy landmark-like point sets the SVD (Umeyama) and complex
+    closed-form fits must agree to machine precision."""
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        src = fd.ARCFACE_TEMPLATE + rng.normal(size=(5, 2)) * 3.0
+        theta = rng.uniform(-1.2, 1.2)
+        s = rng.uniform(0.4, 2.5)
+        R = np.array([[np.cos(theta), -np.sin(theta)],
+                      [np.sin(theta), np.cos(theta)]])
+        dst = s * src @ R.T + rng.normal(size=2) * 40 \
+            + rng.normal(size=(5, 2)) * 2.0   # landmark noise
+        np.testing.assert_allclose(fd.umeyama_similarity(src, dst),
+                                   _similarity_fit_complex(src, dst),
+                                   atol=1e-9)
+
+
+def test_umeyama_template_fit_matches_insightface_estimate_norm():
+    """The exact call shape insightface makes: fit observed landmarks onto
+    ARCFACE_TEMPLATE. Checked against the independent fit AND for exact
+    template recovery when landmarks are a pure similarity of it."""
+    rng = np.random.default_rng(11)
+    for _ in range(10):
+        theta = rng.uniform(-0.8, 0.8)
+        s = rng.uniform(1.5, 6.0)           # faces are bigger than 112px
+        R = np.array([[np.cos(theta), -np.sin(theta)],
+                      [np.sin(theta), np.cos(theta)]])
+        t = rng.uniform(50, 400, size=2)
+        lmk = s * fd.ARCFACE_TEMPLATE @ R.T + t
+        M = fd.umeyama_similarity(lmk, fd.ARCFACE_TEMPLATE)
+        M2 = _similarity_fit_complex(lmk, fd.ARCFACE_TEMPLATE)
+        # both fits map the landmarks back onto the template exactly
+        # (matrix entries agree to float64-SVD noise, ~1e-6)
+        np.testing.assert_allclose(M, M2, atol=1e-4)
+        for mm in (M, M2):
+            back = lmk @ mm[:, :2].T + mm[:, 2]
+            np.testing.assert_allclose(back, fd.ARCFACE_TEMPLATE, atol=1e-4)
+
+
+def test_mouth_centroid_collapse_is_unbiased():
+    """Our parser yields one mouth centroid, not two corners; the detector
+    feeds [e1, e2, nose, mouth, mouth] against the 5-point template. For a
+    true similarity-placed face this collapse recovers the EXACT transform
+    (the two opposite corner residuals cancel in the least squares), so
+    alignment inherits zero bias from it."""
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        theta = rng.uniform(-0.6, 0.6)
+        s = rng.uniform(1.0, 4.0)
+        R = np.array([[np.cos(theta), -np.sin(theta)],
+                      [np.sin(theta), np.cos(theta)]])
+        t = rng.uniform(0, 300, size=2)
+        true_pts = s * fd.ARCFACE_TEMPLATE @ R.T + t      # RetinaFace view
+        mouth_c = true_pts[3:5].mean(0)                   # our parser view
+        ours = np.stack([true_pts[0], true_pts[1], true_pts[2],
+                         mouth_c, mouth_c])
+        M = fd.umeyama_similarity(ours, fd.ARCFACE_TEMPLATE)
+        M_ref = fd.umeyama_similarity(true_pts, fd.ARCFACE_TEMPLATE)
+        # the collapse is a stationary point of the exact-arithmetic LSQ
+        # (opposite corner residuals cancel); what remains is float64 SVD
+        # noise — bound the template-space DISPLACEMENT it causes far below
+        # a pixel
+        disp = (true_pts @ (M - M_ref)[:, :2].T + (M - M_ref)[:, 2])
+        assert np.abs(disp).max() < 1e-3, np.abs(disp).max()
+
+
+def test_warp_affine_np_matches_cv2():
+    """The numpy fallback warp must match cv2.warpAffine (the warp
+    insightface's norm_crop uses) on a smooth image."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:200, 0:200]
+    img = np.stack([(yy * 1.2 + xx * 0.3) % 256,
+                    (xx * 0.9) % 256,
+                    ((yy + xx) * 0.5) % 256], -1).astype(np.uint8)
+    lmk = fd.ARCFACE_TEMPLATE * 1.4 + np.array([20.0, 15.0])
+    M = fd.umeyama_similarity(lmk, fd.ARCFACE_TEMPLATE)
+    ours = fd.warp_affine_np(img, M, 112).astype(np.float32)
+    ref = cv2.warpAffine(img, M.astype(np.float32), (112, 112),
+                         flags=cv2.INTER_LINEAR).astype(np.float32)
+    # interior pixels (borders differ by out-of-range handling policy)
+    assert np.abs(ours[2:-2, 2:-2] - ref[2:-2, 2:-2]).mean() < 1.0

@@ -100,6 +100,8 @@ def main():
     for batch in batches:
         prompts = ["a portrait photo of a person, detailed"] * batch
         ref_latents = None
+        solver_exact = {}   # (sampler, steps) -> exact latents, for the
+        # second drift column (approximation error alone, solver excluded)
         for name in names:
             sampler, steps, fc = CONFIGS[name]
             fast = FastConfig(**fc) if fc is not None else None
@@ -110,6 +112,8 @@ def main():
                            seed=0, fast=fast, sampler=sampler,
                            return_latents=True)
             z = np.asarray(z, np.float32)
+            if fc is None:
+                solver_exact[(sampler, steps)] = z
             if not args.latents_only:
                 # images variant is a separate executable (return_latents is
                 # a static arg) — warm it before the timing loop
@@ -121,6 +125,9 @@ def main():
                 ref_latents = z
             drift = (np.linalg.norm(z - ref_latents)
                      / (np.linalg.norm(ref_latents) + 1e-9))
+            se = solver_exact.get((sampler, steps))
+            drift_own = (np.linalg.norm(z - se) / (np.linalg.norm(se) + 1e-9)
+                         if se is not None else float("nan"))
 
             t0 = time.perf_counter()
             for i in range(args.iters):
@@ -131,18 +138,19 @@ def main():
                 np.asarray(out)
             dt = time.perf_counter() - t0
             ips = batch * args.iters / dt
-            rows.append((batch, name, ips, drift, compile_s))
+            rows.append((batch, name, ips, drift, drift_own, compile_s))
             log(f"B={batch} {name:14s} {ips:6.3f} img/s  drift={drift:.4f}"
-                f"  (compile+warmup {compile_s:.0f}s, run {dt:.1f}s)")
+                f" own={drift_own:.4f}  (compile+warmup {compile_s:.0f}s,"
+                f" run {dt:.1f}s)")
 
     log("")
     log(f"{'B':>3s} {'config':14s} {'img/s':>7s} {'vs ddim50':>10s} "
-        f"{'latent drift':>13s}")
+        f"{'drift/ddim50':>13s} {'drift/own':>10s}")
     base = {b: next(r[2] for r in rows if r[0] == b and r[1] == "ddim50-exact")
             for b in batches}
-    for batch, name, ips, drift, _ in rows:
+    for batch, name, ips, drift, drift_own, _ in rows:
         log(f"{batch:3d} {name:14s} {ips:7.3f} {ips / base[batch]:9.2f}x "
-            f"{drift:13.4f}")
+            f"{drift:13.4f} {drift_own:10.4f}")
 
 
 if __name__ == "__main__":

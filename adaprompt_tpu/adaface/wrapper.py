@@ -184,12 +184,14 @@ class AdaFacePipeline:
                  guidance_scale: float = 4.0, out_image_count: int = 4,
                  num_steps: int | None = None, seed: int = 0,
                  height: int = 512, width: int = 512,
-                 sampler: str = "ddim") -> np.ndarray:
+                 sampler: str = "ddim", fast=None) -> np.ndarray:
         """Personalized txt2img (AdaFaceWrapper.forward,
         adaface_wrapper.py:274-296). Returns uint8 [N, H, W, 3].
 
         sampler: "ddim" (reference semantics) or "dpmpp" (DPM-Solver++(2M),
-        sampling/dpm.py — pass num_steps ~20-25 for DDIM-50 quality)."""
+        sampling/dpm.py — pass num_steps ~20-25 for DDIM-50 quality).
+        fast: opt-in pipeline.FastConfig — composes with either sampler;
+        fast + dpmpp-20 is the composed serving stack (docs/PERF.md)."""
         cond, uncond = self.encode_prompt(prompt, negative_prompt)
         cond = jnp.tile(cond, (out_image_count, 1, 1))
         uncond = jnp.tile(uncond, (out_image_count, 1, 1))
@@ -197,4 +199,32 @@ class AdaFacePipeline:
             None, context=cond[None], context_uncond=uncond[None],
             num_steps=num_steps or self.num_inference_steps,
             guidance_scale=guidance_scale, height=height, width=width,
-            seed=seed, sampler=sampler)
+            seed=seed, sampler=sampler, fast=fast)
+
+    def warmup(self, *, out_image_counts=(1, 4), num_steps: int | None = None,
+               height: int = 512, width: int = 512, sampler: str = "ddim",
+               fast=None, seed: int = 0) -> None:
+        """AOT warm-start (a TPU-native obligation — the torch-eager
+        reference has no analog): trace + compile every executable a
+        serving session hits — the jitted personalization chain, the face
+        embedder, prompt encode, and one denoise-to-decode graph per
+        requested image count — BEFORE the first user request. With the
+        persistent jax compilation cache populated by an earlier process
+        (cli/common.py), the compiles replay from disk in seconds instead
+        of minutes; cold + warm numbers in docs/PERF.md. Writes throwaway
+        random subject rows into the token table; the next real
+        personalization overwrites them."""
+        self.generate_adaface_embeddings(
+            pre_face_embs=jax.random.normal(jax.random.PRNGKey(seed),
+                                            (1, 512)),
+            gen_rand_face=True, seed=seed)
+        if self.face_embedder is not None:
+            img = np.full((height, width, 3), 128, np.uint8)
+            try:
+                self.face_embedder.embed_image(img)
+            except Exception:
+                pass   # detector found no face on the flat image — fine
+        for n in out_image_counts:
+            self("portrait of a z person", out_image_count=int(n),
+                 num_steps=num_steps, height=height, width=width, seed=seed,
+                 sampler=sampler, fast=fast)

@@ -20,6 +20,11 @@ def parse_args(argv=None):
     p.add_argument("--num_steps", type=int, default=50)
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--outdir", type=str, default="outputs/demo")
+    p.add_argument("--warmup", action="store_true", default=True,
+                   help="AOT-compile the serving signatures before the UI "
+                        "comes up (AdaFacePipeline.warmup); with the "
+                        "persistent compile cache this replays from disk")
+    p.add_argument("--no_warmup", dest="warmup", action="store_false")
     return p.parse_args(argv)
 
 
@@ -85,6 +90,14 @@ def run_repl(ada, args):
 def main(argv=None):
     args = parse_args(argv)
     ada = build_pipeline(args)
+    if args.warmup:
+        import time
+        t0 = time.perf_counter()
+        print("warmup: compiling serving signatures (or replaying the "
+              "persistent cache) ...")
+        ada.warmup(out_image_counts=(1, 4), num_steps=args.num_steps)
+        print(f"warmup done in {time.perf_counter() - t0:.0f}s — first "
+              "request serves at steady-state latency")
     try:
         import gradio  # noqa: F401
         run_gradio(ada, args)

@@ -142,3 +142,12 @@ def test_adaface_pipeline_product_path(tmp_path_factory):
                 height=64, width=64, sampler="dpmpp")
     assert imgs2.shape == (2, 64, 64, 3)
     assert imgs2.std() > 0
+
+    # AOT warmup traces the same signatures without error, and the throwaway
+    # random subject rows land in the token table (overwritten by the next
+    # real personalization)
+    ada.warmup(out_image_counts=(2,), num_steps=2, height=64, width=64)
+    subj_embs3 = ada.generate_adaface_embeddings(images_np=[None] * 3)
+    np.testing.assert_allclose(
+        np.asarray(pipe.params.text["token_embedding"][ada.placeholder_token_ids[0]]),
+        np.asarray(subj_embs3[0]), atol=1e-6)

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,28 @@ CA_LAYER_INDICES = tuple(LAYER_IDX2CA_IDX)
 # layers whose CA activations feed the distillation losses (openaimodel.py:937-941)
 DISTILL_LAYER_INDICES = (7, 8, 12, 16, 17, 18, 19, 20, 21, 22, 23, 24)
 NUM_CA_LAYERS = 16
+
+# Remat-policy A/B knob (read at import, like ops.attention's flags):
+# ADAPROMPT_REMAT_POLICY selects what jax.checkpoint may SAVE inside each
+# rematerialized block instead of recomputing it on the backward pass.
+#   ""             (default) save nothing — the reference's use_checkpoint
+#                  semantics: minimum memory, maximum recompute
+#   "dots"         jax.checkpoint_policies.dots_saveable — keep every matmul
+#                  output (MXU work is never redone; elementwise/VPU is)
+#   "dots_nobatch" dots_with_no_batch_dims_saveable — keep only contraction
+#                  results with no batch dims (weights-side dots)
+# Measured on the Stage-1 step: see docs/PERF.md "remat policy" entry.
+_REMAT_POLICY = os.environ.get("ADAPROMPT_REMAT_POLICY", "")
+
+
+def _block_remat(fn):
+    """Block-level rematerialization with the env-selected save policy."""
+    if _REMAT_POLICY == "dots":
+        return jax.checkpoint(fn, policy=jax.checkpoint_policies.dots_saveable)
+    if _REMAT_POLICY == "dots_nobatch":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    return jax.checkpoint(fn)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -759,7 +782,7 @@ def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array
             # block-level gradient rematerialization (openaimodel.py
             # use_checkpoint, v1-finetune-ada.yaml:121); identity when the
             # graph is not differentiated
-            block_fn = jax.checkpoint(block_fn)
+            block_fn = _block_remat(block_fn)
         return block_fn
 
     def run_block(bp, entry, h, layer_idx):
@@ -803,7 +826,7 @@ def forward(params: dict, x: jax.Array, timesteps: jax.Array, context: jax.Array
         cv, ck = ctx_for(n_inp)
         kv = cross_kv.get(n_inp) if cross_kv is not None else None
         if cfg.use_checkpoint:
-            mid_fn = jax.checkpoint(mid_fn)
+            mid_fn = _block_remat(mid_fn)
         h, cached = mid_fn(params["middle_block"], h, emb, cv, ck, img_mask, kv,
                            conv_attn_for(n_inp))
         if cached is not None:

@@ -120,13 +120,29 @@ class StableDiffusionPipeline:
         in environments without checkpoint assets."""
         if isinstance(key, int):
             key = jax.random.PRNGKey(key)
-        k1, k2, k3 = jax.random.split(key, 3)
         ucfg = kw.pop("unet_cfg", unet_mod.SD15_UNET_CONFIG)
         vcfg = kw.pop("vae_cfg", vae_mod.SD15_VAE_CONFIG)
         tcfg = kw.pop("text_cfg", clip_text.SD15_TEXT_CONFIG)
-        params = SDParams(unet=unet_mod.init_params(k1, ucfg),
-                          vae=vae_mod.init_params(k2, vcfg),
-                          text=clip_text.init_params(k3, tcfg))
+        # init on the HOST CPU, transfer once: eager per-tensor RNG on the
+        # accelerator costs one tunnel dispatch per parameter (~3.5 ms each,
+        # docs/PERF.md) — minutes for the ~1B-param stack, vs seconds on
+        # CPU + one bulk device_put. threefry RNG is backend-invariant, so
+        # the weights are bit-identical either way.
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            key = jax.device_put(key, cpu)
+            k1, k2, k3 = jax.random.split(key, 3)
+            params = SDParams(unet=unet_mod.init_params(k1, ucfg),
+                              vae=vae_mod.init_params(k2, vcfg),
+                              text=clip_text.init_params(k3, tcfg))
+            if kw.get("param_dtype") is not None:
+                # cast before the transfer (bf16 halves the bytes moved)
+                params = params.astype(kw.pop("param_dtype"))
+        dev = jax.devices()[0]
+        if dev.platform != "cpu":
+            params = SDParams(unet=jax.device_put(params.unet, dev),
+                              vae=jax.device_put(params.vae, dev),
+                              text=jax.device_put(params.text, dev))
         return cls(params, unet_cfg=ucfg, vae_cfg=vcfg, text_cfg=tcfg, **kw)
 
     # -- multi-chip serving ------------------------------------------------------

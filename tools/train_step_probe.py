@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--minkab", action="store_true",
                     help="A/B _FLASH_MIN_K=0 (flash cross-attn) vs current")
+    ap.add_argument("--remat", action="store_true",
+                    help="same-run A/B of jax.checkpoint save policies "
+                         "(unet._REMAT_POLICY: '' / dots / dots_nobatch)")
     args = ap.parse_args()
 
     from adaprompt_tpu.adaface import subj_basis_generator as sbg
@@ -80,13 +83,22 @@ def main():
         "skip_weights": jnp.asarray([0.5, 0.5], jnp.float32),
     }
 
-    variants = [("current", None)]
+    variants = [("current", None, None)]
     if args.minkab:
-        variants.append(("flash-cross (MIN_K=0)", 0))
-    for tag, mink in variants:
+        variants.append(("flash-cross (MIN_K=0)", 0, None))
+    if args.remat:
+        # _REMAT_POLICY is read at TRACE time by unet._block_remat, so
+        # patching the module global between jits gives a same-run A/B
+        variants = [("remat=save-nothing (default)", None, ""),
+                    ("remat=dots_saveable", None, "dots"),
+                    ("remat=dots_nobatch", None, "dots_nobatch")]
+    for tag, mink, remat in variants:
         saved = attn._FLASH_MIN_K
+        saved_remat = unet_mod._REMAT_POLICY
         if mink is not None:
             attn._FLASH_MIN_K = mink
+        if remat is not None:
+            unet_mod._REMAT_POLICY = remat
         try:
             step = jax.jit(trainer_mod.make_zs_recon_step(
                 optimizer, frozen, tok, scfg, fgbg_reg=True))
@@ -103,8 +115,13 @@ def main():
             float(metrics["loss_recon"])       # scalar-fetch sync
             dt = (time.perf_counter() - t0) / args.steps
             log(f"[{tag}] steady state: {dt:.3f} s/step (bs={b})")
+        except Exception as e:
+            # a policy variant may exceed the 16GB chip (it saves more) —
+            # record and continue the sweep
+            log(f"[{tag}] FAILED: {e!r}")
         finally:
             attn._FLASH_MIN_K = saved
+            unet_mod._REMAT_POLICY = saved_remat
 
 
 if __name__ == "__main__":

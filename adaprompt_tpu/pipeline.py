@@ -118,8 +118,6 @@ class StableDiffusionPipeline:
     def random_init(cls, key: jax.Array | int = 0, **kw) -> "StableDiffusionPipeline":
         """Random weights at full SD-1.5 size — for benchmarking/compile tests
         in environments without checkpoint assets."""
-        if isinstance(key, int):
-            key = jax.random.PRNGKey(key)
         ucfg = kw.pop("unet_cfg", unet_mod.SD15_UNET_CONFIG)
         vcfg = kw.pop("vae_cfg", vae_mod.SD15_VAE_CONFIG)
         tcfg = kw.pop("text_cfg", clip_text.SD15_TEXT_CONFIG)
@@ -130,7 +128,10 @@ class StableDiffusionPipeline:
         # the weights are bit-identical either way.
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            key = jax.device_put(key, cpu)
+            # the key too: no accelerator op runs before the bulk transfer
+            # (an eager op on a degraded tunnel can block init forever)
+            key = (jax.random.PRNGKey(key) if isinstance(key, int)
+                   else jax.device_put(key, cpu))
             k1, k2, k3 = jax.random.split(key, 3)
             params = SDParams(unet=unet_mod.init_params(k1, ucfg),
                               vae=vae_mod.init_params(k2, vcfg),

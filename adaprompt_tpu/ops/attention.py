@@ -77,6 +77,19 @@ _BWD_BLOCK_K = 256
 # exp's internal multiply, and the extra lse/bias prescale passes lose.
 # Kept env-gated for other toolchain versions; default off.
 _EXP2 = bool(os.environ.get("ADAPROMPT_FLASH_EXP2"))
+# Interleaved two-chain forward (round-5 A/B knob, measured +2% at best —
+# docs/PERF.md lane study; default OFF): the single-K-pass kernel is a
+# strict MXU -> VPU -> MXU serial chain (s = qK^T, then max/exp over the
+# whole [block_q, seq_k] tile, then PV). _fwd_kernel_ilv splits K into
+# interleaved blocks processed by TWO independent online-softmax chains,
+# emitting chain B's score matmul before chain A's VPU update so the
+# scheduler can overlap them; the chains merge exactly at the end
+# (jointly-renormalized accumulator sum — same math as one online-softmax
+# stream). Measured [8,4096,8,40]: 5.344 -> 5.229 ms at bq=1024,bk=2048;
+# Mosaic evidently already achieves most of the available overlap.
+# ADAPROMPT_FLASH_ILV="bq:bk" (or "1" for 512:sk/4); read at trace time so
+# probes can A/B by patching _ILV.
+_ILV = os.environ.get("ADAPROMPT_FLASH_ILV", "")
 # Max-pass elimination (A/B knob, measured NET-NEGATIVE on v5e): replace
 # the per-row score max with a Cauchy-Schwarz cap |q̂_i| * max_k |k_k| (+1
 # margin) computed outside the kernel. The in-VMEM max reduction it removes
@@ -207,6 +220,57 @@ def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref, *,
     l = acc[:, dva - 1:dva]              # sum_k p (the ones column)
     o_ref[:] = (acc[:, :dva - 1] / l).astype(o_ref.dtype)
     m_nat = m * (1.0 / _LOG2E) if exp2 else m    # [block_q, 1], cheap
+    lse_ref[:] = m_nat + jnp.log(l)
+
+
+def _fwd_kernel_ilv(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref, *,
+                    scale, block_k, seq_k, has_bias, exp2):
+    # Two independent online-softmax chains over interleaved K blocks.
+    # Emission order per pair: score(A), score(B), update(A), update(B) —
+    # score(B) carries no dependency on chain A's update, so the MXU can
+    # compute it while the VPU runs chain A's max/exp; chain B's update in
+    # turn overlaps chain A's PV matmul. Statically unrolled (nk is small:
+    # seq 4096 / block 1024 = 4). The final merge renormalizes both
+    # accumulators onto the joint max — exact, same math as folding the two
+    # chains into one online-softmax stream.
+    eff = scale * _LOG2E if exp2 else scale
+    expf = jnp.exp2 if exp2 else jnp.exp
+    q = (q_ref[:].astype(jnp.float32) * eff).astype(q_ref.dtype)
+    block_q, d = q.shape
+    dva = v_ref.shape[-1]                # Dv + 1 (ones column)
+    nk = seq_k // block_k                # even by construction (caller)
+
+    def score(i):
+        k_blk = k_ref[pl.ds(i * block_k, block_k), :]
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if has_bias:
+            s = s + b_ref[0, pl.ds(i * block_k, block_k)][None, :]
+        return s
+
+    def upd(s, i, m_prev, acc):
+        v_blk = v_ref[pl.ds(i * block_k, block_k), :]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = expf(s - m_new)
+        alpha = expf(m_prev - m_new)
+        acc = acc * alpha + jnp.dot(p.astype(v_blk.dtype), v_blk,
+                                    preferred_element_type=jnp.float32)
+        return m_new, acc
+
+    m_a = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    acc_a = jnp.zeros((block_q, dva), jnp.float32)
+    m_b, acc_b = m_a, acc_a
+    for j in range(nk // 2):
+        s_a = score(2 * j)
+        s_b = score(2 * j + 1)
+        m_a, acc_a = upd(s_a, 2 * j, m_a, acc_a)
+        m_b, acc_b = upd(s_b, 2 * j + 1, m_b, acc_b)
+    m = jnp.maximum(m_a, m_b)
+    acc = acc_a * expf(m_a - m) + acc_b * expf(m_b - m)
+    l = acc[:, dva - 1:dva]
+    o_ref[:] = (acc[:, :dva - 1] / l).astype(o_ref.dtype)
+    m_nat = m * (1.0 / _LOG2E) if exp2 else m
     lse_ref[:] = m_nat + jnp.log(l)
 
 
@@ -360,6 +424,19 @@ def _flash_fwd_impl(q, k, v, bias, scale, *, interpret=False, nomax=None):
     # proportionally (64MB -> 1024, 16MB -> 256 == the old defaults).
     block_q = _pick_block(sq, max(256, 1024 * _VMEM_MB // 64))
     block_k = _pick_block(sk, 4096)
+    ilv = _ILV and not nomax
+    if ilv:
+        # interleaved two-chain kernel: needs an even number of K blocks;
+        # _ILV is "1" (defaults bq=512, bk=sk/4) or "bq:bk"
+        if ":" in str(_ILV):
+            bq_t, bk_t = (int(x) for x in str(_ILV).split(":"))
+        else:
+            bq_t, bk_t = 512, max(sk // 4, 128)
+        block_q = _pick_block(sq, bq_t)
+        block_k = _pick_block(sk, bk_t)
+        if (sk // block_k) % 2:
+            block_k = _pick_block(sk, block_k // 2)
+        ilv = sk // block_k >= 2
 
     bias_spec = (pl.BlockSpec((None, 1, sk), lambda i, j: (i // h, 0, 0))
                  if has_bias else
@@ -402,8 +479,9 @@ def _flash_fwd_impl(q, k, v, bias, scale, *, interpret=False, nomax=None):
             compiler_params=_VMEM_LIMIT,
         )(qf, kf, vf, bias, cap)
     else:
+        kern = _fwd_kernel_ilv if ilv else _fwd_kernel
         out, lse = pl.pallas_call(
-            functools.partial(_fwd_kernel, scale=scale, block_k=block_k,
+            functools.partial(kern, scale=scale, block_k=block_k,
                               seq_k=sk, has_bias=has_bias, exp2=exp2),
             grid=(b * h, sq // block_q),
             in_specs=in_specs,

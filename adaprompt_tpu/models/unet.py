@@ -49,17 +49,22 @@ CA_LAYER_INDICES = tuple(LAYER_IDX2CA_IDX)
 DISTILL_LAYER_INDICES = (7, 8, 12, 16, 17, 18, 19, 20, 21, 22, 23, 24)
 NUM_CA_LAYERS = 16
 
-# Remat-policy A/B knob (read at import, like ops.attention's flags):
+# Remat-policy knob (read at import, like ops.attention's flags):
 # ADAPROMPT_REMAT_POLICY selects what jax.checkpoint may SAVE inside each
 # rematerialized block instead of recomputing it on the backward pass.
-#   ""             (default) save nothing — the reference's use_checkpoint
-#                  semantics: minimum memory, maximum recompute
-#   "dots"         jax.checkpoint_policies.dots_saveable — keep every matmul
-#                  output (MXU work is never redone; elementwise/VPU is)
+#   "none"         save nothing — the reference's use_checkpoint semantics:
+#                  minimum memory, maximum recompute
+#   "dots"         (default) jax.checkpoint_policies.dots_saveable — keep
+#                  every matmul output (MXU work is never redone;
+#                  elementwise/VPU is)
 #   "dots_nobatch" dots_with_no_batch_dims_saveable — keep only contraction
 #                  results with no batch dims (weights-side dots)
-# Measured on the Stage-1 step: see docs/PERF.md "remat policy" entry.
-_REMAT_POLICY = os.environ.get("ADAPROMPT_REMAT_POLICY", "")
+# Round-5 chip A/B (tools/train_step_probe.py --remat, full Stage-1 step,
+# bs=4/512px): save-nothing 0.492 s/step, dots 0.483, dots_nobatch 0.483 —
+# both saving policies fit the 16GB chip and win ~2%, so `dots` is the
+# default; export ADAPROMPT_REMAT_POLICY=none to reclaim maximum memory
+# headroom (e.g. bigger batches on smaller-HBM parts). docs/PERF.md.
+_REMAT_POLICY = os.environ.get("ADAPROMPT_REMAT_POLICY", "dots")
 
 
 def _block_remat(fn):
@@ -69,6 +74,12 @@ def _block_remat(fn):
     if _REMAT_POLICY == "dots_nobatch":
         return jax.checkpoint(
             fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    if _REMAT_POLICY not in ("", "none"):
+        # a typo (e.g. the full JAX name "dots_saveable") must not silently
+        # run the save-nothing policy and mislabel an A/B (round-4 ADVICE)
+        raise ValueError(
+            f"ADAPROMPT_REMAT_POLICY={_REMAT_POLICY!r}: expected 'none', "
+            "'dots', or 'dots_nobatch'")
     return jax.checkpoint(fn)
 
 

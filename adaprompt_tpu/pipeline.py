@@ -139,8 +139,11 @@ class StableDiffusionPipeline:
             if kw.get("param_dtype") is not None:
                 # cast before the transfer (bf16 halves the bytes moved)
                 params = params.astype(kw.pop("param_dtype"))
-        dev = jax.devices()[0]
+        # local_devices: in multi-process JAX the first GLOBAL device can be
+        # non-addressable from this process (round-4 ADVICE)
+        dev = jax.local_devices()[0]
         if dev.platform != "cpu":
+            # one bulk device_put per sub-tree (3 transfers total)
             params = SDParams(unet=jax.device_put(params.unet, dev),
                               vae=jax.device_put(params.vae, dev),
                               text=jax.device_put(params.text, dev))

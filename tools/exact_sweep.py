@@ -53,13 +53,15 @@ def main():
 
     results = []
     for fused in [bool(int(f)) for f in args.fused.split(",")]:
-        pipe = base
-        if fused:
-            pipe = StableDiffusionPipeline(
-                base.params, tokenizer=base.tokenizer,
-                unet_cfg=dataclasses.replace(base.unet_cfg, fused_conv=True),
-                vae_cfg=base.vae_cfg, text_cfg=base.text_cfg,
-                compute_dtype=base.compute_dtype)
+        # Build the config explicitly for BOTH legs: base.unet_cfg bakes
+        # ADAPROMPT_FUSED_CONV/QUANT/TOME from the environment at import, so
+        # reusing it for the fused=0 leg would silently run both legs fused
+        # whenever that env var is set (round-4 ADVICE).
+        pipe = StableDiffusionPipeline(
+            base.params, tokenizer=base.tokenizer,
+            unet_cfg=dataclasses.replace(base.unet_cfg, fused_conv=fused),
+            vae_cfg=base.vae_cfg, text_cfg=base.text_cfg,
+            compute_dtype=base.compute_dtype)
         for batch in [int(b) for b in args.batches.split(",")]:
             prompts = ["a portrait photo of a person, detailed,"
                        " studio lighting"] * batch

@@ -51,15 +51,28 @@ def main():
     tcfg = clip_text.CLIPTextConfig()
     ucfg = unet_mod.SD15_UNET_CONFIG
     t0 = time.perf_counter()
-    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    # host-side init + bulk transfer (docs/PERF.md round-4 cold-start fix:
+    # eager accelerator RNG costs one ~3.5 ms tunnel dispatch per tensor —
+    # minutes for the full stack; measured 362 s in the round-5 session)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        keys = jax.random.split(jax.random.PRNGKey(0), 4)
+        frozen_h = steps_mod.FrozenSD(
+            unet=unet_mod.init_params(keys[0], ucfg),
+            text=clip_text.init_params(keys[1], tcfg),
+            arc2face_text=clip_text.init_params(keys[2], tcfg),
+            teacher_unet=None,
+            unet_cfg=ucfg, text_cfg=tcfg, arc2face_text_cfg=tcfg)
+        scfg = sbg.SubjBasisConfig(placeholder_is_bg=False, text_cfg=tcfg)
+        sbg_params_h = sbg.init_params(keys[3], scfg)
+    dev = jax.local_devices()[0]
     frozen = steps_mod.FrozenSD(
-        unet=unet_mod.init_params(keys[0], ucfg),
-        text=clip_text.init_params(keys[1], tcfg),
-        arc2face_text=clip_text.init_params(keys[2], tcfg),
-        teacher_unet=None,
-        unet_cfg=ucfg, text_cfg=tcfg, arc2face_text_cfg=tcfg)
-    scfg = sbg.SubjBasisConfig(placeholder_is_bg=False, text_cfg=tcfg)
-    sbg_params = sbg.init_params(keys[3], scfg)
+        unet=jax.device_put(frozen_h.unet, dev),
+        text=jax.device_put(frozen_h.text, dev),
+        arc2face_text=jax.device_put(frozen_h.arc2face_text, dev),
+        teacher_unet=None, unet_cfg=ucfg, text_cfg=tcfg,
+        arc2face_text_cfg=tcfg)
+    sbg_params = jax.device_put(sbg_params_h, dev)
     log(f"param init: {time.perf_counter()-t0:.0f}s")
 
     tx_cfg = trainer_mod.TrainerConfig(max_steps=1000, grad_accum=1)
@@ -83,14 +96,18 @@ def main():
         "skip_weights": jnp.asarray([0.5, 0.5], jnp.float32),
     }
 
+    if args.remat and args.minkab:
+        ap.error("--remat and --minkab are separate A/Bs; run one at a time")
     variants = [("current", None, None)]
     if args.minkab:
         variants.append(("flash-cross (MIN_K=0)", 0, None))
     if args.remat:
         # _REMAT_POLICY is read at TRACE time by unet._block_remat, so
-        # patching the module global between jits gives a same-run A/B
-        variants = [("remat=save-nothing (default)", None, ""),
-                    ("remat=dots_saveable", None, "dots"),
+        # patching the module global between jits gives a same-run A/B.
+        # (extends rather than replaces: "current" doubles as the
+        # save-nothing baseline only when the env default is unset)
+        variants = [("remat=save-nothing", None, "none"),
+                    ("remat=dots_saveable (default)", None, "dots"),
                     ("remat=dots_nobatch", None, "dots_nobatch")]
     for tag, mink, remat in variants:
         saved = attn._FLASH_MIN_K

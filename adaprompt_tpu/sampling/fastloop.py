@@ -5,9 +5,12 @@ DDIM (sampling/ddim.py) and DPM-Solver++(2M) (sampling/dpm.py) share one
 implementation of:
 
   * DeepCache deep-feature reuse (arXiv:2312.00858): one FULL UNet pass
-    every `cache_interval` steps, shallow cache-resume passes in between —
-    expressed as a scan over groups of `interval` steps (full head +
-    shallow scan) so the whole loop stays one XLA program,
+    every `cache_interval` steps (uniformly across the segment), shallow
+    cache-resume passes in between. Loop structure is picked per segment
+    (round-5 chip A/B): a scan over groups when the interval divides the
+    segment, else ONE scan with a static full/shallow flag + lax.cond —
+    which removes the remainder executables whose overhead caused the
+    round-4 "fast(all) anomaly" (docs/PERF.md),
   * CFG tail truncation (guidance-interval family, arXiv:2404.07724):
     the first `n_cfg` steps run the doubled (cond|uncond) CFG batch, the
     remaining steps run condition-only — two segments with different
@@ -26,8 +29,20 @@ CFG guidance scale (driver convention; further entries are solver-owned).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Loop-structure policy for non-dividing (steps, interval) segments:
+# "group" (default) = group scan + separate remainder executables,
+# "cond" = one flag+lax.cond scan. Round-5 same-day chip A/B
+# (docs/PERF.md): group wins EVERYWHERE (dpmpp20+all 3.98 vs 3.55,
+# +aggr 4.32 vs 3.65, +mild 3.55 vs 2.87 img/s) — the round-4 "fast(all)
+# anomaly" that motivated the cond structure was day-to-day slice noise,
+# not remainder-executable overhead. Read at trace time so probes can A/B
+# by patching.
+_COND_POLICY = os.environ.get("ADAPROMPT_FASTLOOP_COND", "group")
 
 
 def fast_cached_loop(model_full, model_shallow, carry, arrs, update, *,
@@ -79,44 +94,86 @@ def fast_cached_loop(model_full, model_shallow, carry, arrs, update, *,
         if n == 0:
             return carry
         interval = max(int(cache_interval), 1)
-        g_cnt, rem = divmod(n, interval)
 
         def full_step(carry, ps):
             e_t, cache = eps_full(carry[0], ps, use_cfg)
             return update(carry, e_t, ps), cache
+
+        if interval == 1:
+            # no caching: plain full-pass scan, shallow branch never built
+            def body(carry, ps):
+                return full_step(carry, ps)[0], None
+            carry, _ = jax.lax.scan(body, carry, seg_arrs)
+            return carry
+
+        g_cnt, rem = divmod(n, interval)
 
         def shallow_body(sc, ps):
             carry, cache = sc
             e_t = eps_shallow(carry[0], ps, cache, use_cfg)
             return (update(carry, e_t, ps), cache), None
 
-        if g_cnt == 0:
-            # fewer steps than one group: full then shallow via scan
-            first = tuple(a[0] for a in seg_arrs)
-            carry, cache = full_step(carry, first)
-            (carry, _), _ = jax.lax.scan(shallow_body, (carry, cache),
-                                         tuple(a[1:] for a in seg_arrs))
-            return carry
-
-        head = tuple(a[:g_cnt * interval].reshape(g_cnt, interval, *a.shape[1:])
-                     for a in seg_arrs)
         cache0 = jax.eval_shape(
             lambda c: full_step(c, tuple(a[0] for a in seg_arrs)), carry)[1]
         cache0 = jnp.zeros(cache0.shape, cache0.dtype)
 
-        def group_body(sc, grp):
-            carry, _ = sc
-            first = tuple(a[0] for a in grp)
-            carry, cache = full_step(carry, first)
-            (carry, cache), _ = jax.lax.scan(shallow_body, (carry, cache),
-                                             tuple(a[1:] for a in grp))
+        # Two loop structures, picked by whether the interval divides the
+        # segment (round-5 chip A/B, docs/PERF.md):
+        #  * rem == 0: scan over groups of `interval` (full head + interior
+        #    shallow scan) — the fastest structure, but when rem > 0 it
+        #    needs separate remainder executables whose overhead eats the
+        #    saved UNet passes (round-4 "fast(all) anomaly");
+        #  * rem > 0: ONE scan over all n steps with a static per-step
+        #    full/shallow flag via lax.cond — measured 10-18% SLOWER than
+        #    the group scan on dividing configs but ~10% FASTER than
+        #    group-scan + remainder executables on non-dividing ones.
+        if rem == 0 or _COND_POLICY == "group":
+            head_n = g_cnt * interval
+            head = tuple(a[:head_n].reshape(g_cnt, interval, *a.shape[1:])
+                         for a in seg_arrs)
+
+            def group_body(sc, grp):
+                carry, _ = sc
+                first = tuple(a[0] for a in grp)
+                carry, cache = full_step(carry, first)
+                (carry, cache), _ = jax.lax.scan(
+                    shallow_body, (carry, cache),
+                    tuple(a[1:] for a in grp))
+                return (carry, cache), None
+
+            (carry, cache), _ = jax.lax.scan(group_body, (carry, cache0),
+                                             head)
+            if rem:
+                # uniform-interval semantics: the remainder opens with a
+                # full pass (flag j % interval == 0 at j = head_n), then
+                # shallow — matches the cond path and the python oracle
+                carry, cache = full_step(
+                    carry, tuple(a[head_n] for a in seg_arrs))
+                (carry, _), _ = jax.lax.scan(
+                    shallow_body, (carry, cache),
+                    tuple(a[head_n + 1:] for a in seg_arrs))
+            return carry
+
+        flags = jnp.asarray(
+            [i % interval == 0 for i in range(n)], jnp.bool_)
+
+        def body(sc, xs):
+            carry, cache = sc
+            is_full, ps = xs[0], xs[1:]
+
+            def do_full(carry, cache):
+                return full_step(carry, ps)
+
+            def do_shallow(carry, cache):
+                e_t = eps_shallow(carry[0], ps, cache, use_cfg)
+                return update(carry, e_t, ps), cache
+
+            carry, cache = jax.lax.cond(is_full, do_full, do_shallow,
+                                        carry, cache)
             return (carry, cache), None
 
-        (carry, cache), _ = jax.lax.scan(group_body, (carry, cache0), head)
-        if rem:
-            (carry, _), _ = jax.lax.scan(
-                shallow_body, (carry, cache),
-                tuple(a[g_cnt * interval:] for a in seg_arrs))
+        (carry, _), _ = jax.lax.scan(body, (carry, cache0),
+                                     (flags,) + seg_arrs)
         return carry
 
     carry = segment(carry, tuple(a[:n_cfg] for a in arrs), True)

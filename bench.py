@@ -157,10 +157,12 @@ def main():
         # at 20 steps x DeepCache(4/3) x ToMe .5 x CFG-tail .35 — every
         # lever stacked in ONE jitted graph (sampling/fastloop.py). This is
         # the opt-in production serving path; the headline above stays the
-        # exact DDIM-50 sampler. Quality: the stack's latent drift vs exact
-        # DDIM-50 is ~0.162, of which ~0.161 is the solver difference alone
-        # (drift vs exact dpmpp-20 is ~1e-3) — table in docs/PERF.md,
-        # bounds regression-tested in tests/test_serving_quality.py.
+        # exact DDIM-50 sampler. Quality (round-5 IMAGE-SPACE readings,
+        # docs/PERF.md): the stack's decoded images sit at 39.9 dB PSNR /
+        # 0.997 SSIM / 0.9987 random-feature ArcFace cosine vs the exact
+        # DDIM-50 images — the 0.162 latent drift is solver-shape noise the
+        # VAE decoder washes out. Bounds regression-tested in
+        # tests/test_serving_quality.py (latent + image space).
         try:
             from adaprompt_tpu.pipeline import FastConfig
             fast = FastConfig(tome_ratio=0.5, tome_mlp=True, cache_interval=4,

@@ -182,12 +182,11 @@ def _oracle_dpm_fast(x_T, steps, guidance, interval, tail_frac):
         n = len(idxs)
         if n == 0:
             return state
-        g_cnt, _rem = divmod(n, max(int(interval), 1))
         cache = None
         for j, i in enumerate(idxs):
-            is_full = ((g_cnt == 0 and j == 0)
-                       or (g_cnt > 0 and j < g_cnt * interval
-                           and j % interval == 0))
+            # round-5 fastloop semantics: the interval applies UNIFORMLY
+            # (every interval-th step full, remainder included)
+            is_full = j % max(int(interval), 1) == 0
             xin = np.concatenate([x, x], 0) if use_cfg else x
             if is_full:
                 e_all, cache = full(xin, ts[i])

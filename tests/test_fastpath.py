@@ -181,12 +181,13 @@ def _oracle_fast(x_T, steps, guidance, interval, tail_frac):
         n = len(idxs)
         if n == 0:
             return x
-        g_cnt, _rem = divmod(n, max(int(interval), 1))
         cache = None
         for j, i in enumerate(idxs):
-            is_full = ((g_cnt == 0 and j == 0)
-                       or (g_cnt > 0 and j < g_cnt * interval
-                           and j % interval == 0))
+            # round-5 fastloop semantics: the interval applies UNIFORMLY
+            # (every interval-th step of the segment runs the full model,
+            # remainder included) — one lax.scan + cond per segment, no
+            # separate remainder executables
+            is_full = j % max(int(interval), 1) == 0
             xin = np.concatenate([x, x], 0) if use_cfg else x
             if is_full:
                 e_all, cache = full(xin, ts[i])
@@ -276,3 +277,22 @@ def test_pipeline_fast_noop_matches_exact():
     b = pipe.generate(["a cat"], num_steps=4, height=64, width=64, seed=2,
                       fast=fast)
     np.testing.assert_allclose(a.astype(np.int32), b.astype(np.int32), atol=1)
+
+
+@pytest.mark.parametrize("steps,interval,tail", [
+    (10, 3, 0.3), (7, 3, 0.3), (20, 4, 0.35),
+])
+def test_fast_sampler_group_policy_matches_oracle(steps, interval, tail,
+                                                  monkeypatch):
+    """ADAPROMPT_FASTLOOP_COND=group (group scan + remainder executables)
+    must be numerically IDENTICAL to the cond-scan default — the policy is
+    a pure loop-structure choice (round-5 A/B, docs/PERF.md)."""
+    from adaprompt_tpu.sampling import fastloop
+    monkeypatch.setattr(fastloop, "_COND_POLICY", "group")
+    rng = np.random.default_rng(steps * 100 + interval)
+    x_T = rng.standard_normal((_B, 8, 8, 4)).astype(np.float32)
+    got = jddim.ddim_sample_fast(_fake_full, _fake_shallow, jnp.asarray(x_T),
+                                 num_steps=steps, guidance_scale=(4.0, 1.0),
+                                 cache_interval=interval, cfg_tail_frac=tail)
+    want = _oracle_fast(x_T, steps, (4.0, 1.0), interval, tail)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)

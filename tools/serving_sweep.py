@@ -73,6 +73,11 @@ def main():
                     help="layer the w8a8 int8 UNet path (ops/quant.py) under "
                     "every swept config; drift stays scored against the bf16 "
                     "exact DDIM-50 reference")
+    ap.add_argument("--image-metrics", action="store_true",
+                    help="also score each preset's DECODED images against "
+                    "the exact DDIM-50 images: PSNR/SSIM + shared-random-"
+                    "weight ArcFace cosine (eval/image_metrics.py; round-4 "
+                    "verdict item 4)")
     args = ap.parse_args()
 
     from adaprompt_tpu.pipeline import StableDiffusionPipeline, FastConfig
@@ -102,6 +107,7 @@ def main():
         ref_latents = None
         solver_exact = {}   # (sampler, steps) -> exact latents, for the
         # second drift column (approximation error alone, solver excluded)
+        ref_images = None
         for name in names:
             sampler, steps, fc = CONFIGS[name]
             fast = FastConfig(**fc) if fc is not None else None
@@ -114,13 +120,23 @@ def main():
             z = np.asarray(z, np.float32)
             if fc is None:
                 solver_exact[(sampler, steps)] = z
+            imgs = None
             if not args.latents_only:
                 # images variant is a separate executable (return_latents is
                 # a static arg) — warm it before the timing loop
-                np.asarray(p.generate(prompts, num_steps=steps, height=512,
-                                      width=512, seed=0, fast=fast,
-                                      sampler=sampler))
+                imgs = np.asarray(
+                    p.generate(prompts, num_steps=steps, height=512,
+                               width=512, seed=0, fast=fast, sampler=sampler))
             compile_s = time.perf_counter() - t0
+            if name == "ddim50-exact":
+                ref_images = imgs
+            if args.image_metrics and imgs is not None and ref_images is not None:
+                from adaprompt_tpu.eval import image_metrics as im
+                ps = im.psnr(imgs, ref_images)
+                ss = im.ssim(imgs, ref_images)
+                cos = im.random_arcface_cosine(imgs, ref_images)
+                log(f"B={batch} {name:14s} image-space vs ddim50-exact: "
+                    f"psnr={ps:.2f} dB ssim={ss:.4f} arcface_cos={cos:.4f}")
             if name == "ddim50-exact":
                 ref_latents = z
             drift = (np.linalg.norm(z - ref_latents)

@@ -52,14 +52,23 @@ def parse_args(argv=None):
                    help="train on random face ids (smoke runs only; the "
                         "reference's gen_arc2face_rand_face fallback)")
     p.add_argument("--detector", type=str, default=None,
-                   help="face detector: 'bisenet:<79999_iter.pth>' (parsing "
-                        "detection + alignment; also the default when "
+                   help="face detector: 'retinaface:<Resnet50_Final.pth|"
+                        ".onnx>' (the reference's RetinaFace semantics, "
+                        "models/retinaface.py; default when "
+                        "$ADAPROMPT_RETINAFACE_CKPT is set), "
+                        "'bisenet:<79999_iter.pth>' (parsing "
+                        "detection + alignment; default when "
                         "$ADAPROMPT_BISENET_CKPT is set), "
                         "'cascade:<opencv_xml_path>', or 'center_crop' "
                         "(the default otherwise)")
     p.add_argument("--clip_ckpt", type=str, default=None,
                    help="CLIP ViT-B/32 weights for compositional teacher "
                         "filtering (do_clip_teacher_filtering)")
+    p.add_argument("--no_teacher_filter", action="store_true",
+                   help="explicit opt-in: run compositional iterations "
+                        "WITHOUT the CLIP teacher filter (every fresh "
+                        "compos iter treated as teachable; the reference "
+                        "keeps only ~30-40%%). Smoke runs only.")
     p.add_argument("--adaface_ckpt", type=str, default=None,
                    help="resume the SubjBasisGenerator from this ckpt")
     p.add_argument("--resume_state", type=str, default=None,
@@ -254,9 +263,26 @@ def main(argv=None):
             from adaprompt_tpu.eval.clip_scorer import CLIPScorer
             clip_scorer = CLIPScorer.from_torch(
                 torch_port.load_state_dict(args.clip_ckpt), tokenizer=tok)
+        elif not args.no_teacher_filter:
+            # refuse rather than silently train on a worse distribution:
+            # the reference's filter keeps only ~30-40% of fresh compos
+            # iters (ddpm.py:3649-3664)
+            raise SystemExit(
+                "compositional training without --clip_ckpt disables the "
+                "CLIP teacher filter: EVERY fresh compositional iteration "
+                "would be treated as teachable (the reference keeps only "
+                "~30-40%, ddpm.py:3649-3664). Pass --clip_ckpt, or opt in "
+                "explicitly with --no_teacher_filter.")
         else:
-            print("WARNING: no --clip_ckpt — teacher filtering disabled; "
-                  "every compositional iteration is treated as teachable.")
+            print("=" * 70)
+            print("WARNING: --no_teacher_filter — CLIP teacher filtering "
+                  "DISABLED;\nevery compositional iteration is treated as "
+                  "teachable. The training\ndistribution differs materially "
+                  "from the reference Stage-2 run.\n(metrics.jsonl carries "
+                  "teacher_filter_disabled=1 on compos iters.)")
+            print("=" * 70)
+            cfg = trainer_mod.TrainerConfig(**{**cfg.__dict__,
+                                               "no_teacher_filter": True})
 
     subjects = ds.scan_subject_folders(args.data_roots)
     print(f"{len(subjects)} subjects, {sum(len(s.image_paths) for s in subjects)} images")

@@ -79,6 +79,13 @@ class TrainerConfig:
     # smoke runs only: distill against the student's own frozen UNet when
     # no Arc2Face teacher checkpoint is loaded (see steps.py gate)
     allow_self_teacher: bool = False
+    # explicit opt-in to running compositional iterations WITHOUT the CLIP
+    # teacher filter (ddpm.py:3649-3664 keeps only ~30-40% of fresh compos
+    # iters; without a clip_scorer every iteration is treated as teachable —
+    # a meaningfully different and worse training distribution). Mirrors
+    # allow_self_teacher: the trainer refuses compos training with
+    # clip_scorer=None unless this is set (round-4 verdict item 5).
+    no_teacher_filter: bool = False
     use_ema: bool = False                    # ema.py port; off in ref (yaml:25)
     ema_decay: float = 0.9999
     seed: int = 0
@@ -354,8 +361,20 @@ class AdaPromptTrainer:
         self.emb_noise_std_range = emb_noise_std_range
         # clip_scorer: optional eval.clip_scorer.CLIPScorer for compositional
         # teacher filtering (do_clip_teacher_filtering, yaml:31); without it
-        # every fresh compositional iteration is treated as teachable.
+        # every fresh compositional iteration is treated as teachable —
+        # which silently degrades Stage-2 (the reference's filter keeps only
+        # ~30-40% of fresh iters, ddpm.py:3649-3664), so compos training
+        # with no scorer requires the explicit no_teacher_filter opt-in.
         self.clip_scorer = clip_scorer
+        if (cfg.composition_regs_iter_gap > 0 and clip_scorer is None
+                and not cfg.no_teacher_filter):
+            raise ValueError(
+                "compositional iterations (composition_regs_iter_gap="
+                f"{cfg.composition_regs_iter_gap}) with clip_scorer=None "
+                "would treat EVERY fresh compos iter as teachable — the "
+                "reference's CLIP teacher filter keeps only ~30-40% "
+                "(ddpm.py:3649-3664). Pass a clip_scorer, or opt in "
+                "explicitly with TrainerConfig(no_teacher_filter=True).")
         if face_embedder is None and not synthetic_faces:
             raise ValueError(
                 "no face_embedder: training would distill against random "
@@ -722,7 +741,10 @@ class AdaPromptTrainer:
         Returns (is_teachable, best_cand_idx, filter_metrics).
         """
         if self.clip_scorer is None:
-            return True, 0, {}
+            # reachable only under the explicit no_teacher_filter opt-in
+            # (constructor refuses otherwise); flag it in metrics.jsonl so
+            # the run is never mistaken for a filtered one
+            return True, 0, {"teacher_filter_disabled": 1.0}
         from adaprompt_tpu.train import compos_step as cs
         self._ensure_compos()
         if not hasattr(self, "_filter_phase"):
@@ -1122,8 +1144,20 @@ class AdaPromptTrainer:
         flat.update(ckpt_mod._flatten(self._frozen_sbg_params, "frozen_sbg/"))
         if self.ema is not None:
             ckpt_mod.save_pytree_leaves("emastate", self.ema, flat)
+        # host-side randomness + counters (round 5): without these a resumed
+        # run draws a fresh random stream, so continued losses can never be
+        # compared bit-for-bit against the uninterrupted run (the endurance
+        # gate, tools/train_endurance.py). numpy Generator state is a JSON-
+        # able dict; self.key is a plain uint32 array.
+        flat["rng_key"] = np.asarray(self.key)
+        meta = {"step": step, "global_step": self._global_step,
+                "rng_state": self.rng.bit_generator.state,
+                "counters": [self._num_filter_iters,
+                             self._num_teachable_iters,
+                             self._num_reuse_filter_iters,
+                             self._num_reuse_teachable_iters]}
         flat["__meta__"] = np.frombuffer(
-            json.dumps({"step": step}).encode(), dtype=np.uint8)
+            json.dumps(meta).encode(), dtype=np.uint8)
         path = os.path.join(self.cfg.out_dir, f"trainer_state-{step}.npz")
         np.savez(path, **flat)
         return path
@@ -1133,6 +1167,14 @@ class AdaPromptTrainer:
         data = np.load(path, allow_pickle=False)
         meta = json.loads(bytes(data["__meta__"]).decode())
         flat = {k: data[k] for k in data.files if k != "__meta__"}
+        if "rng_key" in flat:        # round-5 states: exact host randomness
+            self.key = jnp.asarray(flat.pop("rng_key"))
+        if "rng_state" in meta:
+            self.rng.bit_generator.state = meta["rng_state"]
+            self._global_step = int(meta.get("global_step", meta["step"]))
+            (self._num_filter_iters, self._num_teachable_iters,
+             self._num_reuse_filter_iters,
+             self._num_reuse_teachable_iters) = meta["counters"]
         param_flat = {k[len("params."):]: v for k, v in flat.items()
                       if k.startswith("params.")}
         groups: dict = {}

@@ -64,7 +64,7 @@ def test_trainer_two_steps(subject_tree, tmp_path):
     cfg = trainer_mod.TrainerConfig(
         max_steps=10, grad_accum=1, arc2face_distill_iter_prob=0.5,
         max_num_denoising_steps=1, ckpt_every=100,
-        composition_regs_iter_gap=2,
+        composition_regs_iter_gap=2, no_teacher_filter=True,
         out_dir=str(tmp_path / "run"), compute_dtype="float32", seed=0)
     tr = trainer_mod.AdaPromptTrainer(frozen, vae_params, vcfg, tok, scfg,
                                       sparams, it, cfg,
@@ -211,3 +211,41 @@ def test_deferred_metrics_flush(tmp_path):
     assert all(l["step_time_s"] == 0.1 for l in lines)
     assert last["step"] == 4 and last["loss"] == pytest.approx(2.0)
     tr._metrics_file.close()
+
+
+def test_compos_without_scorer_refused(subject_tree, tmp_path):
+    """Compositional training with clip_scorer=None must refuse unless the
+    no_teacher_filter opt-in is set (round-4 verdict item 5): without the
+    CLIP teacher filter every fresh compos iter is treated as teachable,
+    while the reference keeps only ~30-40% (ddpm.py:3649-3664)."""
+    tok = build_word_vocab(tmp_path)
+    tcfg = clip_text.CLIPTextConfig(vocab_size=50000, hidden_size=HIDDEN,
+                                    intermediate_size=HIDDEN * 2, num_layers=2,
+                                    num_heads=8, eos_token_id=tok.eos_id)
+    ucfg = unet_mod.UNetConfig(model_channels=32, channel_mult=(1, 2),
+                               num_res_blocks=1, attention_ds=(1, 2),
+                               num_heads=4, context_dim=HIDDEN,
+                               use_checkpoint=False)
+    vcfg = vae_mod.VAEConfig(ch=32, ch_mult=(1, 2, 4), num_res_blocks=1)
+    keys = jax.random.split(jax.random.PRNGKey(0), 5)
+    frozen = steps_mod.FrozenSD(
+        unet=unet_mod.init_params(keys[0], ucfg),
+        text=clip_text.init_params(keys[1], tcfg),
+        arc2face_text=clip_text.init_params(keys[2], tcfg),
+        teacher_unet=unet_mod.init_params(keys[3], ucfg),
+        unet_cfg=ucfg, text_cfg=tcfg, arc2face_text_cfg=tcfg)
+    scfg = sbg.SubjBasisConfig(placeholder_is_bg=False, output_dim=HIDDEN,
+                               text_cfg=tcfg)
+    sparams = sbg.init_params(keys[4], scfg)
+    vae_params = vae_mod.init_params(jax.random.PRNGKey(9), vcfg)
+    subjects = ds.scan_subject_folders(subject_tree)
+    dset = ds.PersonalizedDataset(subjects, size=IMG, seed=0,
+                                  num_vectors_per_subj_token=16)
+    it = ds.make_batch_iterator(dset, ds.SubjectSampler(subjects, seed=0),
+                                batch_size=2)
+    cfg = trainer_mod.TrainerConfig(
+        max_steps=10, grad_accum=1, composition_regs_iter_gap=2,
+        out_dir=str(tmp_path / "run2"), compute_dtype="float32", seed=0)
+    with pytest.raises(ValueError, match="teachable"):
+        trainer_mod.AdaPromptTrainer(frozen, vae_params, vcfg, tok, scfg,
+                                     sparams, it, cfg, synthetic_faces=True)

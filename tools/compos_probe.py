@@ -94,6 +94,7 @@ def main():
                                         batch_size=args.bs)
             cfg = trainer_mod.TrainerConfig.stage2(
                 max_steps=args.steps, composition_regs_iter_gap=2,
+                no_teacher_filter=(scorer is None),
                 arc2face_distill_iter_prob=0.0, ckpt_every=10 ** 9,
                 out_dir=outdir, seed=0)
             tr = trainer_mod.AdaPromptTrainer(

@@ -239,3 +239,29 @@ def make_bisenet_detector(bisenet_params, size: int = 112, cfg=None):
     parse = functools.partial(bisenet.parse_faces, bisenet_params,
                               cfg=cfg or bisenet.BISENET_FACE)
     return make_parsing_detector(parse, size=size)
+
+
+def make_retinaface_detector(rf_params, size: int = 112, cfg=None,
+                             score_thresh: float = 0.5, max_faces: int = 4):
+    """Detector backed by the JAX RetinaFace port (models/retinaface) —
+    the reference's actual detection semantics (regressed 5-point landmarks
+    -> norm_crop alignment; adaface/util.py:242-341, eval_utils.py:268-335
+    deepface-retinaface engine). Removes the parsing-centroid landmark
+    caveat of the BiSeNet detector entirely: the landmarks here are the
+    model's own keypoint regressions, exactly what insightface feeds
+    norm_crop."""
+    from adaprompt_tpu.models import retinaface as rf
+
+    def detect(image_np: np.ndarray):
+        image_np = np.asarray(image_np)
+        boxes, scores, landms = rf.detect_faces(
+            rf_params, image_np, cfg or rf.RETINAFACE_R50,
+            score_thresh=score_thresh)
+        crops = []
+        for i in range(min(len(scores), max_faces)):
+            M = umeyama_similarity(landms[i].astype(np.float32),
+                                   ARCFACE_TEMPLATE)
+            crops.append(warp_affine(image_np, M, size))
+        return crops
+
+    return detect

@@ -68,19 +68,39 @@ def make_cascade_detector(cascade_xml_path: str, size: int = 112,
 
 def make_detector(spec: str | None, size: int = 112):
     """Detector factory:
+      * 'retinaface:<Resnet50_Final.pth|.onnx>' -> the JAX RetinaFace port
+        (models/retinaface) — the reference's actual detection semantics
+        (regressed 5-point landmarks -> norm_crop, adaface/util.py:242-341);
       * 'bisenet:<79999_iter.pth>' -> BiSeNet-parsing detection + Umeyama
-        alignment (eval/face_detect.py — the default real detector, filling
-        the reference's RetinaFace role, adaface/util.py:242-341);
+        alignment (eval/face_detect.py — asset-light fallback filling the
+        same role);
       * 'cascade:<xml_path>' -> OpenCV cascade detection;
       * 'center_crop' -> center-crop fallback;
-      * None -> bisenet when $ADAPROMPT_BISENET_CKPT points at weights,
-        center-crop otherwise.
+      * None -> retinaface when $ADAPROMPT_RETINAFACE_CKPT points at
+        weights, else bisenet when $ADAPROMPT_BISENET_CKPT does, else
+        center-crop.
     """
     if spec is None:
-        env = os.environ.get("ADAPROMPT_BISENET_CKPT")
-        spec = f"bisenet:{env}" if env and os.path.exists(env) else "center_crop"
+        rf_env = os.environ.get("ADAPROMPT_RETINAFACE_CKPT")
+        bi_env = os.environ.get("ADAPROMPT_BISENET_CKPT")
+        if rf_env and os.path.exists(rf_env):
+            spec = f"retinaface:{rf_env}"
+        elif bi_env and os.path.exists(bi_env):
+            spec = f"bisenet:{bi_env}"
+        else:
+            spec = "center_crop"
     if spec == "center_crop":
         return None  # FaceSimilarityEvaluator defaults to center_crop
+    if spec.startswith("retinaface:"):
+        from adaprompt_tpu.eval.face_detect import make_retinaface_detector
+        from adaprompt_tpu.models import retinaface as rf
+        path = spec.split(":", 1)[1]
+        if path.endswith(".onnx"):
+            params = rf.from_onnx(path)
+        else:
+            from adaprompt_tpu.utils.torch_port import load_state_dict
+            params = rf.from_torch(load_state_dict(path))
+        return make_retinaface_detector(params, size=size)
     if spec.startswith("bisenet:"):
         from adaprompt_tpu.eval.face_detect import make_bisenet_detector
         from adaprompt_tpu.models import bisenet
@@ -90,7 +110,8 @@ def make_detector(spec: str | None, size: int = 112):
     if spec.startswith("cascade:"):
         return make_cascade_detector(spec.split(":", 1)[1], size=size)
     raise ValueError(f"unknown detector spec {spec!r}; use 'center_crop', "
-                     "'bisenet:<pth_path>' or 'cascade:<xml_path>'")
+                     "'retinaface:<pth|onnx>', 'bisenet:<pth_path>' or "
+                     "'cascade:<xml_path>'")
 
 
 def center_crop_detector(image_np: np.ndarray, size: int = 112) -> list[np.ndarray]:

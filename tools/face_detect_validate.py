@@ -54,6 +54,11 @@ def main():
                     help="folder of per-subject photo folders")
     ap.add_argument("--bisenet_ckpt",
                     default=os.environ.get("ADAPROMPT_BISENET_CKPT"))
+    ap.add_argument("--retinaface_ckpt",
+                    default=os.environ.get("ADAPROMPT_RETINAFACE_CKPT"),
+                    help="Resnet50_Final.pth or .onnx -> also validate the "
+                         "JAX RetinaFace port (models/retinaface) on the "
+                         "same photos (round-4 verdict item 7)")
     ap.add_argument("--arcface_onnx",
                     default=os.environ.get("ADAPROMPT_ARCFACE_ONNX"))
     ap.add_argument("--max_subjects", type=int, default=8)
@@ -97,6 +102,14 @@ def main():
     detectors = {"parsing+align": parsing_detect,
                  "parsing-bbox": bbox_only_detect,
                  "center-crop": center_crop_detector}
+    if args.retinaface_ckpt and os.path.exists(args.retinaface_ckpt):
+        from adaprompt_tpu.models import retinaface as rf_mod
+        rf_params = (rf_mod.from_onnx(args.retinaface_ckpt)
+                     if args.retinaface_ckpt.endswith(".onnx")
+                     else rf_mod.from_torch(
+                         load_state_dict(args.retinaface_ckpt)))
+        detectors["retinaface"] = fd.make_retinaface_detector(rf_params)
+        log("retinaface port loaded: included in the comparison")
 
     evaluator = None
     if args.arcface_onnx and os.path.exists(args.arcface_onnx):

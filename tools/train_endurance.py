@@ -39,6 +39,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache (same location as bench.py / cli/common.py):
+# each ND-distill variant costs ~400 s to compile through the tunnel, so a
+# short run without the cache spends its whole budget compiling
+_CACHE_DIR = os.path.expanduser("~/.cache/adaprompt_jax")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 def log(m):
     print(m, flush=True)
